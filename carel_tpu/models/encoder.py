@@ -1,0 +1,152 @@
+"""TPU-native transformer encoder (BERT/RoBERTa family).
+
+Replaces the reference's HF `BertModel`/`RobertaModel` encoders
+(/root/reference/drl_classifier_ec_mmd_final_mul.py:186-192,
+baseline_emotion_classifier_final_devin.py:287-292) with a Flax implementation
+designed for the MXU:
+
+- all matmuls run in bfloat16 with float32 params and float32 accumulation
+  (`preferred_element_type`), keeping them on the 128x128 systolic array;
+- static shapes everywhere; the attention mask enters as an additive bias so
+  the whole layer is one fused XLA computation;
+- optional `jax.checkpoint` (remat) per layer to trade FLOPs for HBM;
+- weights load from local HF checkpoints via carel_tpu.models.hf_port when
+  available, otherwise initialize randomly (the TPU environment has no network
+  egress, so "from_pretrained-by-name" is out of scope by design).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from carel_tpu.config import EncoderConfig
+
+
+def _dtype(cfg: EncoderConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class SelfAttention(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        cfg = self.cfg
+        dtype = _dtype(cfg)
+        d = cfg.hidden_dim
+        h = cfg.num_heads
+        hd = d // h
+        B, L, _ = x.shape
+
+        qkv = nn.DenseGeneral((3, h, hd), dtype=dtype, name="qkv")(x)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, L, h, hd]
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        scores = scores + bias  # bias is [B, 1, 1, L] float32
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        out = nn.DenseGeneral(d, axis=(-2, -1), dtype=dtype, name="out")(ctx)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        cfg = self.cfg
+        dtype = _dtype(cfg)
+        attn = SelfAttention(cfg, name="attention")(x, bias, deterministic)
+        attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_ln")(x + attn).astype(dtype)
+        mlp = nn.Dense(cfg.mlp_dim, dtype=dtype, name="mlp_in")(x)
+        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.Dense(cfg.hidden_dim, dtype=dtype, name="mlp_out")(mlp)
+        mlp = nn.Dropout(cfg.dropout)(mlp, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="mlp_ln")(x + mlp).astype(dtype)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """BERT-style encoder returning (last_hidden_state, pooler_output).
+
+    The pooler (dense+tanh over the [CLS] position) matches HF's BertPooler —
+    the reference reads `.pooler_output` everywhere (flagship :202-206).
+    """
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,  # [B, L] int32
+        attention_mask,  # [B, L] int32/float
+        token_type_ids=None,  # [B, L] int32
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        dtype = _dtype(cfg)
+        B, L = input_ids.shape
+
+        if cfg.arch == "roberta":
+            # HF RoBERTa position ids: pad positions get pad_token_id; real
+            # tokens count from pad_token_id + 1
+            mask = attention_mask.astype(jnp.int32)
+            positions = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
+        else:
+            positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+
+        word_emb = nn.Embed(cfg.vocab_size, cfg.hidden_dim,
+                            dtype=dtype, name="word_embeddings")(input_ids)
+        pos_emb = nn.Embed(cfg.max_position, cfg.hidden_dim,
+                           dtype=dtype, name="position_embeddings")(positions)
+        x = word_emb + pos_emb
+        if cfg.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_dim, dtype=dtype,
+                             name="token_type_embeddings")(token_type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="embeddings_ln")(x).astype(dtype)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        # additive mask bias, float32 so softmax stays stable
+        bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
+        bias = bias[:, None, None, :]
+
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, name=f"layer_{i}")(x, bias, deterministic)
+
+        pooled = nn.Dense(cfg.hidden_dim, dtype=dtype, name="pooler")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+        return x, pooled
+
+
+def tiny_encoder_config(vocab_size: int = 512, **kw) -> EncoderConfig:
+    """A 2-layer toy encoder for CPU-runnable tests and smoke training."""
+    defaults = dict(
+        vocab_size=vocab_size,
+        hidden_dim=64,
+        num_layers=2,
+        num_heads=4,
+        mlp_dim=128,
+        max_position=160,
+        type_vocab_size=2,
+        dropout=0.1,
+        dtype="float32",
+    )
+    defaults.update(kw)
+    return EncoderConfig(**defaults)

@@ -7,12 +7,20 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment's sitecustomize presets JAX_PLATFORMS=axon (the
+# real TPU via a tunnel) and PRE-IMPORTS jax, so the env var is already
+# latched into jax.config — it must be overridden via config.update, and
+# XLA_FLAGS must be set before the first backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

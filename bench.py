@@ -1,0 +1,79 @@
+"""Benchmark: flagship train-step throughput on the local accelerator.
+
+Measures ECPE pairs/sec/chip for the full CAREL-VAE training step (bert-base
+encoder in bf16, VAE heads, MMD regularizer, pos-weighted pair BCE, BoW
+reconstruction over a 23.8k vocab) at the reference's batch 64 x seq 128
+(BASELINE.md: tracked metric "ECPE docs/sec/chip (train)").
+
+vs_baseline: the reference (PyTorch BERT-base fwd+bwd, batch 64, seq 128,
+single A100, anomaly detection ON — job_group_devin.sh:3-11, flagship :837)
+has no published throughput; 800 pairs/s is our recorded envelope estimate
+for that setup (BASELINE.md notes the build must measure its own reference
+baseline; revisit when a torch/GPU rerun is possible).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 800.0
+
+
+def main() -> None:
+    from __graft_entry__ import _flagship_cfg
+    from carel_tpu.models.drl import DrlModel
+    from carel_tpu.train.state import create_train_state
+    from carel_tpu.train.steps import make_train_step
+
+    cfg = _flagship_cfg()
+    model = DrlModel(cfg.model)
+    B, L = cfg.train.batch_size, cfg.data.max_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(1, cfg.model.encoder.vocab_size, (B, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "token_type_ids": jnp.zeros((B, L), jnp.int32),
+        "pair_labels": jnp.asarray(rng.integers(0, 2, B), jnp.float32),
+        "emotion_labels": jnp.asarray(rng.integers(0, 6, B), jnp.int32),
+        "bow_indices": jnp.asarray(
+            rng.integers(0, cfg.model.bow_dim, (B, 32)), jnp.int32),
+        "bow_weights": jnp.full((B, 32), 1.0 / 32, jnp.float32),
+        "example_mask": jnp.ones(B, jnp.float32),
+    }
+
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        batch["input_ids"], batch["attention_mask"], batch["token_type_ids"])
+    state = create_train_state(cfg, variables["params"], jax.random.key(2))
+    step = make_train_step(cfg, model)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, batch, i, 0.0)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, i, 0.0)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = n_steps * B / dt
+    print(json.dumps({
+        "metric": "ECPE train pairs/sec/chip (flagship MMD step, bf16, b64xs128)",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""End-to-end pipeline assembly: config -> datasets -> model -> train state.
+
+Resolves corpus paths exactly like the reference entry points
+(drl_classifier_ec_mmd_final_mul.py:939-948 for the old split,
+newsplit :1205-1227 for the new split + predicted-emotion test files), builds
+the tokenizer/BoW/arrays, and instantiates the model sized to them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import uuid
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from carel_tpu.config import CarelConfig, EncoderConfig, ModelConfig
+from carel_tpu.data.batching import PairArrays, encode_pairs
+from carel_tpu.data.bow import BowVocab, build_bow_vocab_en, build_bow_vocab_zh
+from carel_tpu.data.ecpe_format import parse_ecpe_file
+from carel_tpu.data.pairs import PairSet, build_pairs
+from carel_tpu.data.tokenizer import BaseTokenizer, build_tokenizer
+from carel_tpu.models.drl import DrlModel
+from carel_tpu.train.state import TrainState, create_train_state
+
+
+def resolve_paths(cfg: CarelConfig) -> Tuple[str, str, str]:
+    """(train_path, test_path, bow_path) per language/split flags."""
+    d = cfg.data
+    root = d.data_root
+
+    def j(*parts):
+        return os.path.join(root, *parts)
+
+    if d.language == "zh":
+        train_dir = "data/ECPE_new_dataset" if d.newsplit else "domains/THUCTC_multiple"
+        train_path = j(train_dir, f"{d.source_domain}.txt")
+        if d.newsplit:
+            if d.predicted_emotion:
+                test_path = j("pair_data/predicted_emotion",
+                              f"source_{d.source_domain}",
+                              f"{d.target_domain}.txt")
+            else:
+                test_path = j("data/ECPE_new_dataset",
+                              f"{d.target_domain}_test.txt")
+        else:
+            test_path = j("pair_data/emotion", f"{d.target_domain}.txt")
+        bow_path = d.bow_file or j("data/all_data_pair_zh.txt")
+    else:
+        train_path = j("domains/Englishnovel_multiple", f"{d.source_domain}.txt")
+        if d.predicted_emotion:
+            test_path = j("pair_data/predicted_emotion",
+                          f"source_{d.source_domain}", f"{d.target_domain}.txt")
+        elif d.bow_optimize:
+            test_path = j("pair_data/emotion", f"{d.target_domain}_optimize.txt")
+        else:
+            test_path = j("pair_data/emotion", f"{d.target_domain}.txt")
+        default_bow = ("data/ecpe_and_reccon_all_data_pair_en.txt"
+                       if d.newsplit else "data/all_data_pair_en.txt")
+        bow_path = d.bow_file or j(default_bow)
+    return train_path, test_path, bow_path
+
+
+@dataclass
+class Pipeline:
+    cfg: CarelConfig
+    model_id: str
+    tokenizer: BaseTokenizer
+    bow: BowVocab
+    model: DrlModel
+    train_pairs: PairSet
+    test_pairs: PairSet
+    train_arrays: PairArrays
+    test_arrays: PairArrays
+    num_unpred_pairs: int
+
+    def encode(self, pair_set: PairSet) -> PairArrays:
+        return encode_pairs(pair_set, self.tokenizer, self.bow,
+                            self.cfg.data.max_len)
+
+
+def _spaced_sep(cfg: CarelConfig) -> bool:
+    return cfg.data.language == "en" and cfg.data.bow_optimize
+
+
+def build_pipeline(
+    cfg: CarelConfig,
+    cache_dir: str = ".carel_cache",
+    encoder_cfg: Optional[EncoderConfig] = None,
+    max_train_docs: int = 0,
+    max_test_docs: int = 0,
+) -> Pipeline:
+    train_path, test_path, bow_path = resolve_paths(cfg)
+
+    train_docs = parse_ecpe_file(train_path)
+    test_docs = parse_ecpe_file(test_path)
+    if max_train_docs:
+        train_docs = train_docs[:max_train_docs]
+    if max_test_docs:
+        test_docs = test_docs[:max_test_docs]
+
+    rng = random.Random(cfg.data.seed)
+    spaced = _spaced_sep(cfg)
+    train_pairs = build_pairs(train_docs, test=False, spaced_sep=spaced, rng=rng)
+    test_pairs = build_pairs(test_docs, test=True, spaced_sep=spaced, rng=rng)
+
+    # BoW vocabulary (bow_util.py semantics)
+    if cfg.data.language == "zh":
+        bow = build_bow_vocab_zh(bow_path)
+    else:
+        bow = build_bow_vocab_en(bow_path, bow_optimize=cfg.data.bow_optimize)
+
+    # tokenizer: corpus-built + cached (no-egress environment)
+    os.makedirs(cache_dir, exist_ok=True)
+    tok_cache = os.path.join(
+        cache_dir, f"tokenizer_{cfg.data.language}.json")
+    hf = cfg.data.tokenizer if cfg.data.tokenizer not in ("auto", "") else None
+    corpus = None
+    if hf is None and not os.path.exists(tok_cache):
+        bow_docs = parse_ecpe_file(bow_path)
+        corpus = [c.text for doc in bow_docs for c in doc.clauses]
+    tokenizer = build_tokenizer(cfg.data.language, corpus, tok_cache, hf)
+
+    # size the model to the data
+    enc = encoder_cfg or cfg.model.encoder
+    enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
+    model_cfg = dataclasses.replace(cfg.model, encoder=enc, bow_dim=len(bow))
+    cfg = dataclasses.replace(cfg, model=model_cfg)
+
+    train_arrays = encode_pairs(train_pairs, tokenizer, bow, cfg.data.max_len)
+    test_arrays = encode_pairs(test_pairs, tokenizer, bow, cfg.data.max_len)
+
+    return Pipeline(
+        cfg=cfg,
+        model_id=str(uuid.uuid4()),
+        tokenizer=tokenizer,
+        bow=bow,
+        model=DrlModel(cfg.model),
+        train_pairs=train_pairs,
+        test_pairs=test_pairs,
+        train_arrays=train_arrays,
+        test_arrays=test_arrays,
+        num_unpred_pairs=test_pairs.num_unpred_emotions,
+    )
+
+
+def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True
+               ) -> TrainState:
+    cfg = pipe.cfg
+    rng = jax.random.key(cfg.train.seed)
+    p_rng, s_rng, state_rng = jax.random.split(rng, 3)
+    B, L = 2, cfg.data.max_len
+    import jax.numpy as jnp
+
+    dummy = (jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32),
+             jnp.zeros((B, L), jnp.int32))
+    variables = pipe.model.init(
+        {"params": p_rng, "sample": s_rng}, *dummy)
+    return create_train_state(cfg, variables["params"], state_rng,
+                              compat_frozen_latent_heads)

@@ -1,0 +1,68 @@
+"""Self-training driver for unsupervised domain adaptation.
+
+Reproduces the reference's outer loop (flagship :965-989, newsplit :1252-1276):
+repeat self_iteration times — predict on the target test set, build a
+pseudo-labelled 2-per-document pair set by strategy, fine-tune self_epochs,
+track the best self-F1 across iterations (best checkpoint carries over).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from carel_tpu.config import CarelConfig, SelfStrategy
+from carel_tpu.data.batching import PairArrays
+from carel_tpu.data.pairs import PairSet
+from carel_tpu.selftrain.strategies import generate_self_train_pairs
+from carel_tpu.train.logging import JsonlLogger
+from carel_tpu.train.loop import evaluate, train_epochs
+from carel_tpu.train.state import TrainState
+
+
+def self_train(
+    cfg: CarelConfig,
+    state: TrainState,
+    train_step: Callable,
+    eval_step: Callable,
+    test_pairs: PairSet,
+    test_arrays: PairArrays,
+    num_unpred_pairs: int,
+    encode: Callable[[PairSet], PairArrays],
+    model_id: str,
+    logger: Optional[JsonlLogger] = None,
+    mesh=None,
+    iterations: Optional[int] = None,
+) -> Tuple[TrainState, Tuple[float, float, float]]:
+    logger = logger or JsonlLogger(echo=False)
+    iterations = iterations if iterations is not None else cfg.train.self_iteration
+    rng = np.random.default_rng(cfg.train.seed + 13)
+    eval_rng = jax.random.key(cfg.train.seed + 29)
+
+    best = (0.0, 0.0, 0.0)
+    for i in range(iterations):
+        eval_rng, sub = jax.random.split(eval_rng)
+        res = evaluate(eval_step, state.params, test_arrays,
+                       num_unpred_pairs, sub, cfg.train.eval_batch_size, mesh)
+        pseudo = generate_self_train_pairs(
+            test_pairs, res.probs, cfg.train.self_strategy,
+            iteration=i, round_up=cfg.train.round_up, rng=rng)
+        if len(pseudo) == 0:
+            logger.log({"event": "selftrain_empty", "iteration": i + 1})
+            continue
+        pseudo_arrays = encode(pseudo)
+        logger.log({"event": "selftrain_iter", "iteration": i + 1,
+                    "pseudo_pairs": len(pseudo)})
+        state, metrics = train_epochs(
+            cfg, state, train_step, eval_step, pseudo_arrays, test_arrays,
+            num_unpred_pairs, model_id, epochs=cfg.train.self_epochs,
+            logger=logger, mesh=mesh,
+            data_rng=np.random.default_rng(cfg.train.seed + 100 + i),
+            best_f1_so_far=best[2])
+        if metrics[2] > best[2]:
+            best = metrics
+        logger.log({"event": "selftrain_best", "iteration": i + 1,
+                    "f1": best[2]})
+    return state, best

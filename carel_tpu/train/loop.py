@@ -1,0 +1,146 @@
+"""Training and evaluation loops for the DRL pair classifier.
+
+Host-side orchestration around the jitted steps: epoch/batch iteration with
+fixed shapes, per-epoch eval with forced-miss padding, best-F1 checkpointing
+and reload (train(), flagship :802-922). Batches are sharded over the 'data'
+mesh axis; params replicated (SURVEY.md §2.10 build plan).
+
+Parity note on KL annealing: the reference's annealing counter is the
+*within-epoch* batch index (`enumerate(train_loader)`, flagship :822), so with
+T=20000 the KL weight effectively stays at its floor — reproduced here by
+passing the batch index, not the global step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from carel_tpu.config import CarelConfig, Regularizer
+from carel_tpu.data.batching import Batch, PairArrays, cut_batch, iter_batches
+from carel_tpu.train import checkpoint as ckpt
+from carel_tpu.train.logging import JsonlLogger
+from carel_tpu.train.metrics import prf_with_forced_misses
+from carel_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class EvalResult:
+    precision: float
+    recall: float
+    f1: float
+    probs: np.ndarray  # [N] probabilities over the real test rows
+
+
+def _device_batch(batch: Batch, mesh=None):
+    d = batch.as_dict()
+    if mesh is not None:
+        from carel_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(mesh, d)
+    return d
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    test_arrays: PairArrays,
+    num_unpred_pairs: int,
+    rng: jax.Array,
+    batch_size: int = 512,
+    mesh=None,
+) -> EvalResult:
+    """Batched full-test-set evaluation (the reference uses one giant batch,
+    flagship :957-961; fixed-size batches with masked tails are equivalent
+    and keep shapes static)."""
+    n = len(test_arrays)
+    probs = np.zeros(n, np.float32)
+    order = np.arange(n)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        batch = cut_batch(test_arrays, idx, batch_size)
+        rng, sub = jax.random.split(rng)
+        p = np.asarray(eval_step(params, _device_batch(batch, mesh), sub))
+        probs[idx] = p[: len(idx)]
+    p, r, f1 = prf_with_forced_misses(
+        test_arrays.pair_labels, probs, num_unpred_pairs)
+    return EvalResult(p, r, f1, probs)
+
+
+def train_epochs(
+    cfg: CarelConfig,
+    state: TrainState,
+    train_step: Callable,
+    eval_step: Callable,
+    train_arrays: PairArrays,
+    test_arrays: PairArrays,
+    num_unpred_pairs: int,
+    model_id: str,
+    epochs: Optional[int] = None,
+    logger: Optional[JsonlLogger] = None,
+    mesh=None,
+    data_rng: Optional[np.random.Generator] = None,
+    best_f1_so_far: float = 0.0,
+    epoch_offset: int = 0,
+) -> Tuple[TrainState, Tuple[float, float, float]]:
+    """Epoch loop with per-epoch eval and best-F1 checkpointing.
+
+    Returns the state with BEST params reloaded (the reference reloads the
+    best checkpoint after training, flagship :916-917).
+    """
+    logger = logger or JsonlLogger(echo=False)
+    data_rng = data_rng or np.random.default_rng(cfg.train.seed)
+    epochs = epochs if epochs is not None else cfg.train.epochs
+    eval_rng = jax.random.key(cfg.train.seed + 7)
+
+    best = (0.0, 0.0, best_f1_so_far)
+    saved_any = False
+    t_start = time.time()
+    examples_seen = 0
+
+    for epoch in range(1, epochs + 1):
+        t_epoch = time.time()
+        running = 0.0
+        n_batches = 0
+        # vi beta ramp: (epoch-1)*0.1 capped at 1 (vi_final :772-777)
+        vi_beta = min((epoch_offset + epoch - 1) * cfg.loss.vi_beta_step, 1.0)
+        for it, batch in enumerate(
+            iter_batches(train_arrays, cfg.train.batch_size, shuffle=True,
+                         rng=data_rng)
+        ):
+            state, metrics = train_step(
+                state, _device_batch(batch, mesh), it, vi_beta)
+            running += float(metrics["loss"])
+            n_batches += 1
+            examples_seen += int(batch.example_mask.sum())
+            if it % 10 == 9:
+                logger.log({"event": "train", "epoch": epoch, "it": it + 1,
+                            "loss": running / 10})
+                running = 0.0
+
+        eval_rng, sub = jax.random.split(eval_rng)
+        res = evaluate(eval_step, state.params, test_arrays,
+                       num_unpred_pairs, sub, cfg.train.eval_batch_size, mesh)
+        dt = time.time() - t_epoch
+        logger.log({
+            "event": "eval", "epoch": epoch,
+            "precision": res.precision, "recall": res.recall, "f1": res.f1,
+            "epoch_seconds": dt,
+            "examples_per_sec": examples_seen / max(time.time() - t_start, 1e-9),
+        })
+
+        if res.f1 > best[2]:
+            best = (res.precision, res.recall, res.f1)
+            ckpt.save_best(cfg.train.checkpoint_dir, model_id, state.params)
+            saved_any = True
+            logger.log({"event": "best", "epoch": epoch, "f1": res.f1})
+
+    if saved_any:
+        best_params = ckpt.load_best(cfg.train.checkpoint_dir, model_id,
+                                     state.params)
+        state = state.replace(params=best_params)
+    return state, best

@@ -1,0 +1,104 @@
+"""End-to-end smoke: real corpus slice -> pipeline -> train -> eval ->
+self-train, with the tiny CPU encoder. Exercises every layer (SURVEY.md §7
+minimum slice) in under a minute."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from carel_tpu.config import PRESETS, Regularizer, SelfStrategy, TrainConfig
+from carel_tpu.models.encoder import tiny_encoder_config
+from carel_tpu.pipeline import build_pipeline, init_state, resolve_paths
+from carel_tpu.selftrain import self_train
+from carel_tpu.train.loop import evaluate, train_epochs
+from carel_tpu.train.steps import make_eval_step, make_train_step
+from tests.conftest import REFERENCE_ROOT, requires_reference_data
+
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference data not mounted")
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, data_root=REFERENCE_ROOT,
+                                 max_len=32),
+        train=TrainConfig(batch_size=16, vae_lr=5e-4, epochs=1,
+                          self_epochs=1, self_iteration=2,
+                          eval_batch_size=64, donate=False,
+                          checkpoint_dir=str(tmp / "ckpt"),
+                          self_strategy=SelfStrategy.TEMPORAL_ORDER_MODIFICATION),
+    )
+    return build_pipeline(cfg, cache_dir=str(tmp / "cache"),
+                          encoder_cfg=tiny_encoder_config(),
+                          max_train_docs=40, max_test_docs=25)
+
+
+@requires_reference_data
+def test_pipeline_shapes(pipe):
+    assert len(pipe.train_arrays) > 20
+    assert len(pipe.test_arrays) > 20
+    assert pipe.cfg.model.bow_dim == len(pipe.bow) > 1000
+    assert pipe.cfg.model.encoder.vocab_size == pipe.tokenizer.vocab_size
+    assert pipe.train_arrays.input_ids.shape[1] == 32
+
+
+@requires_reference_data
+def test_train_eval_selftrain_roundtrip(pipe):
+    cfg = pipe.cfg
+    state = init_state(pipe)
+    train_step = make_train_step(cfg, pipe.model)
+    eval_step = make_eval_step(cfg, pipe.model)
+
+    state, best = train_epochs(
+        cfg, state, train_step, eval_step,
+        pipe.train_arrays, pipe.test_arrays, pipe.num_unpred_pairs,
+        pipe.model_id, epochs=1)
+    assert 0.0 <= best[2] <= 1.0
+
+    res = evaluate(eval_step, state.params, pipe.test_arrays,
+                   pipe.num_unpred_pairs, jax.random.key(0), 64)
+    assert res.probs.shape == (len(pipe.test_arrays),)
+    assert np.all((res.probs >= 0) & (res.probs <= 1))
+
+    state, self_best = self_train(
+        cfg, state, train_step, eval_step,
+        pipe.test_pairs, pipe.test_arrays, pipe.num_unpred_pairs,
+        pipe.encode, pipe.model_id, iterations=1)
+    assert 0.0 <= self_best[2] <= 1.0
+
+
+@requires_reference_data
+def test_resolve_paths_match_reference_layout():
+    cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, data_root=REFERENCE_ROOT))
+    train_p, test_p, bow_p = resolve_paths(cfg)
+    assert train_p.endswith("data/ECPE_new_dataset/home.txt")
+    assert test_p.endswith(
+        "pair_data/predicted_emotion/source_home/education.txt")
+    assert bow_p.endswith("data/all_data_pair_zh.txt")
+    assert os.path.exists(train_p) and os.path.exists(test_p)
+
+    cfg2 = PRESETS["ec_mmd_final_mul"]
+    cfg2 = cfg2.replace(data=dataclasses.replace(
+        cfg2.data, data_root=REFERENCE_ROOT))
+    train_p, test_p, _ = resolve_paths(cfg2)
+    assert train_p.endswith("domains/THUCTC_multiple/society_num.txt")
+    assert test_p.endswith("pair_data/emotion/education.txt")
+    assert os.path.exists(train_p) and os.path.exists(test_p)
+
+    cfg3 = PRESETS["en_newsplit"]
+    cfg3 = cfg3.replace(data=dataclasses.replace(
+        cfg3.data, data_root=REFERENCE_ROOT))
+    train_p, test_p, bow_p = resolve_paths(cfg3)
+    assert train_p.endswith("domains/Englishnovel_multiple/enecpe_num.txt")
+    assert test_p.endswith(
+        "pair_data/predicted_emotion/source_enecpe_num/reccon_test.txt")
+    assert os.path.exists(train_p) and os.path.exists(test_p)

@@ -1,0 +1,90 @@
+"""Self-training strategy tests against hand-computed selections."""
+
+import numpy as np
+
+from carel_tpu.config import SelfStrategy
+from carel_tpu.data.pairs import PairExample, PairSet
+
+
+def _pairs(doc_sizes, temporal=None):
+    ps = PairSet()
+    k = 0
+    for d, size in enumerate(doc_sizes):
+        for i in range(size):
+            ps.examples.append(PairExample(
+                pair=f"p{d}_{i}", label=0, emotion=0,
+                temporal_order=bool(temporal[k]) if temporal is not None else True,
+                doc_index=d))
+            k += 1
+        ps.docs_pair_size.append(size)
+    return ps
+
+
+from carel_tpu.selftrain.strategies import generate_self_train_pairs
+
+
+def test_threshold_strategy():
+    ps = _pairs([4])
+    probs = np.array([0.9, 0.6, 0.4, 0.2])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.THRESHOLD,
+                                    round_up=False)
+    assert [e.pair for e in out.examples] == ["p0_0", "p0_2"]
+    assert [e.label for e in out.examples] == [1, 0]
+
+
+def test_extreme_strategy():
+    ps = _pairs([3, 2])
+    probs = np.array([0.2, 0.8, 0.5, 0.1, 0.9])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.EXTREME,
+                                    round_up=False)
+    # doc0: top p0_1, bottom p0_0; doc1: top p1_1, bottom p1_0
+    assert [e.pair for e in out.examples] == ["p0_1", "p0_0", "p1_1", "p1_0"]
+
+
+def test_random_strategy_top_pos_and_lower_neg():
+    ps = _pairs([5])
+    probs = np.array([0.1, 0.9, 0.3, 0.7, 0.5])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                    round_up=False,
+                                    rng=np.random.default_rng(0))
+    assert out.examples[0].pair == "p0_1"  # highest prob is positive
+    assert out.examples[0].label == 1
+    assert out.examples[1].pair != "p0_1"  # negative ranked below
+
+
+def test_temporal_order_strategy():
+    # top-ranked pair violates temporal order -> skipped
+    ps = _pairs([4], temporal=[False, True, False, True])
+    probs = np.array([0.95, 0.8, 0.6, 0.4])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.TEMPORAL_ORDER,
+                                    round_up=False,
+                                    rng=np.random.default_rng(1))
+    assert out.examples[0].pair == "p0_1"  # best temporally-consistent pair
+    assert out.examples[0].label == 1
+    # negative drawn from ranks strictly below the positive's rank
+    assert out.examples[1].pair in ("p0_2", "p0_3")
+
+
+def test_temporal_order_modification_switches():
+    ps = _pairs([3], temporal=[True, True, True])
+    probs = np.array([0.9, 0.5, 0.1])
+    # iteration 0 behaves like temporal_order on RAW probabilities even when
+    # round_up=True (newsplit :966-976)
+    out0 = generate_self_train_pairs(
+        ps, probs, SelfStrategy.TEMPORAL_ORDER_MODIFICATION, iteration=0,
+        round_up=True, rng=np.random.default_rng(2))
+    assert out0.examples[0].pair == "p0_0"
+    # iteration >= 1 falls back to random
+    out1 = generate_self_train_pairs(
+        ps, probs, SelfStrategy.TEMPORAL_ORDER_MODIFICATION, iteration=1,
+        round_up=True, rng=np.random.default_rng(2))
+    assert out1.examples[0].label == 1
+
+
+def test_zero_size_docs_skipped():
+    ps = _pairs([0, 2])
+    probs = np.array([0.3, 0.6])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.EXTREME,
+                                    round_up=False)
+    assert len(out) == 2
+    assert out.docs_pair_size == [2]

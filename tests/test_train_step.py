@@ -1,0 +1,179 @@
+"""Train-step tests: one step per regularizer on the tiny encoder, loss
+decreases over steps, optimizer-group isolation, and data-parallel execution
+over the fake 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from carel_tpu.config import (
+    CarelConfig,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    Regularizer,
+    TrainConfig,
+)
+from carel_tpu.models.drl import DrlModel
+from carel_tpu.models.encoder import tiny_encoder_config
+from carel_tpu.train.state import create_train_state, param_labels
+from carel_tpu.train.steps import make_eval_step, make_train_step
+
+VOCAB = 128
+BOW = 64
+
+
+def tiny_cfg(reg=Regularizer.MMD, **loss_kw):
+    return CarelConfig(
+        model=ModelConfig(encoder=tiny_encoder_config(vocab_size=VOCAB),
+                          ec_dim=8, bow_dim=BOW, dropout=0.1),
+        loss=LossConfig(regularizer=reg, **loss_kw),
+        data=DataConfig(max_len=16),
+        train=TrainConfig(batch_size=8, vae_lr=1e-3, donate=False),
+    )
+
+
+def synth_batch(rng, B=8, L=16):
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, VOCAB, (B, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "token_type_ids": jnp.zeros((B, L), jnp.int32),
+        "pair_labels": jnp.asarray(rng.integers(0, 2, B), jnp.float32),
+        "emotion_labels": jnp.asarray(rng.integers(0, 6, B), jnp.int32),
+        "bow_indices": jnp.asarray(rng.integers(0, BOW, (B, 4)), jnp.int32),
+        "bow_weights": jnp.full((B, 4), 0.25, jnp.float32),
+        "example_mask": jnp.ones(B, jnp.float32),
+    }
+    return batch
+
+
+def make_state(cfg):
+    model = DrlModel(cfg.model)
+    rng = np.random.default_rng(0)
+    b = synth_batch(rng)
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        b["input_ids"], b["attention_mask"], b["token_type_ids"])
+    state = create_train_state(cfg, variables["params"], jax.random.key(2))
+    return model, state
+
+
+@pytest.mark.parametrize("reg", [Regularizer.NONE, Regularizer.MMD,
+                                 Regularizer.HSIC, Regularizer.GAN,
+                                 Regularizer.VI])
+def test_one_step_each_regularizer(reg):
+    cfg = tiny_cfg(reg)
+    model, state = make_state(cfg)
+    step = make_train_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(1))
+    state2, metrics = step(state, batch, 0, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually moved
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    moved = [v for v in jax.tree_util.tree_leaves(delta)]
+    assert max(moved) > 0
+
+
+def test_frozen_latent_heads_compat():
+    cfg = tiny_cfg(Regularizer.MMD)
+    model, state = make_state(cfg)
+    step = make_train_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(2))
+    state2, _ = step(state, batch, 0, 0.0)
+    # the four latent projections stay at init (reference get_params quirk)
+    for name in ["emotion_mu", "emotion_log_var", "cause_mu", "cause_log_var"]:
+        before = state.params["heads"][name]["kernel"]
+        after = state2.params["heads"][name]["kernel"]
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # while encoder and classifiers move
+    b = state.params["encoder"]["pooler"]["kernel"]
+    a = state2.params["encoder"]["pooler"]["kernel"]
+    assert float(jnp.abs(a - b).max()) > 0
+
+
+def test_gan_disc_updates_only_in_gan_mode():
+    for reg, expect_move in [(Regularizer.MMD, False), (Regularizer.GAN, True)]:
+        cfg = tiny_cfg(reg)
+        model, state = make_state(cfg)
+        step = make_train_step(cfg, model)
+        batch = synth_batch(np.random.default_rng(3))
+        state2, _ = step(state, batch, 0, 0.0)
+        before = state.params["ec_disc"]["disc"]["kernel"]
+        after = state2.params["ec_disc"]["disc"]["kernel"]
+        moved = float(jnp.abs(after - before).max()) > 0
+        assert moved == expect_move, reg
+
+
+def test_vi_club_updates():
+    cfg = tiny_cfg(Regularizer.VI)
+    model, state = make_state(cfg)
+    step = make_train_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(4))
+    state2, _ = step(state, batch, 0, 0.5)
+    before = state.params["club"]["mu_in"]["kernel"]
+    after = state2.params["club"]["mu_in"]["kernel"]
+    assert float(jnp.abs(after - before).max()) > 0
+
+
+def test_loss_decreases_over_steps():
+    cfg = tiny_cfg(Regularizer.NONE)
+    model, state = make_state(cfg)
+    step = make_train_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(5))
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, i, 0.0)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_eval_step_probabilities():
+    cfg = tiny_cfg(Regularizer.MMD)
+    model, state = make_state(cfg)
+    ev = make_eval_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(6))
+    p = np.asarray(ev(state.params, batch, jax.random.key(0)))
+    assert p.shape == (8,)
+    assert np.all((p >= 0) & (p <= 1))
+    # sampling rng changes predictions (the reference's stochastic eval)
+    p2 = np.asarray(ev(state.params, batch, jax.random.key(1)))
+    assert not np.allclose(p, p2)
+    # deterministic eval is reproducible
+    ev_det = make_eval_step(cfg, model, sample=False)
+    d1 = np.asarray(ev_det(state.params, batch, jax.random.key(0)))
+    d2 = np.asarray(ev_det(state.params, batch, jax.random.key(1)))
+    np.testing.assert_allclose(d1, d2)
+
+
+def test_data_parallel_step_on_mesh():
+    """DP over the fake 8-device mesh: sharded batch, replicated params."""
+    from carel_tpu.parallel.mesh import make_mesh
+    from carel_tpu.parallel.sharding import shard_batch, shard_params
+
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    cfg = tiny_cfg(Regularizer.MMD)
+    model, state = make_state(cfg)
+    mesh = make_mesh(8, axes=("data",))
+    state = jax.tree_util.tree_map(
+        lambda x: x, state)  # no-op; params replicated below
+    sharded_state = state.replace(
+        params=shard_params(mesh, state.params),
+        main_opt_state=shard_params(mesh, state.main_opt_state),
+        disc_opt_state=shard_params(mesh, state.disc_opt_state),
+        club_opt_state=shard_params(mesh, state.club_opt_state),
+    )
+    step = make_train_step(cfg, model)
+    batch = synth_batch(np.random.default_rng(7), B=16)
+    sharded_batch = shard_batch(mesh, batch)
+    state2, metrics = step(sharded_state, sharded_batch, 0, 0.0)
+    assert np.isfinite(float(metrics["loss"]))
+    # single-device result matches the 8-way sharded result
+    state_1dev, metrics_1 = make_train_step(cfg, model)(state, batch, 0, 0.0)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_1["loss"]), rtol=1e-4)

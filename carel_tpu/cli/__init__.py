@@ -1,0 +1,1 @@
+from carel_tpu.cli.main import main  # noqa: F401

@@ -1,0 +1,339 @@
+"""Command-line entry points.
+
+Replaces the reference's ~20 file-forked trainers with preset invocations
+(BASELINE.json "configs"; the reference's canonical run is
+job_group_devin.sh:32 -> drl_classifier_ec_mmd_final_mul_newsplit_emnlp.py):
+
+    python -m carel_tpu.cli train --preset ec_mmd_final_mul_newsplit_emnlp \
+        --data_root /path/to/corpora [--regularizer mmd] [--adapter entmax] ...
+    python -m carel_tpu.cli stage1 --language zh --source home --target education
+    python -m carel_tpu.cli infer --preset ... --checkpoint_dir ... --model_id ...
+    python -m carel_tpu.cli presets
+    python -m carel_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional
+
+from carel_tpu.config import (
+    PRESETS,
+    AdapterKind,
+    CarelConfig,
+    EncoderConfig,
+    Regularizer,
+    SelfStrategy,
+)
+
+
+def _encoder_preset(name: str, language: str) -> EncoderConfig:
+    from carel_tpu.models.encoder import tiny_encoder_config
+
+    if name == "tiny":
+        return tiny_encoder_config()
+    if name == "base":
+        arch = "bert" if language == "zh" else "roberta"
+        return EncoderConfig(arch=arch, dtype="bfloat16")
+    if name == "base_f32":
+        arch = "bert" if language == "zh" else "roberta"
+        return EncoderConfig(arch=arch, dtype="float32")
+    raise SystemExit(f"unknown encoder preset: {name}")
+
+
+def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
+    data = cfg.data
+    loss = cfg.loss
+    model = cfg.model
+    train = cfg.train
+    if args.data_root:
+        data = dataclasses.replace(data, data_root=args.data_root)
+    if args.language:
+        data = dataclasses.replace(data, language=args.language)
+    if args.source_domain:
+        data = dataclasses.replace(data, source_domain=args.source_domain)
+    if args.target_domain:
+        data = dataclasses.replace(data, target_domain=args.target_domain)
+    if args.max_len:
+        data = dataclasses.replace(data, max_len=args.max_len)
+    if args.regularizer:
+        loss = dataclasses.replace(loss, regularizer=Regularizer(args.regularizer))
+    if args.mmd_loss_weight is not None:
+        loss = dataclasses.replace(loss, mmd_loss_weight=args.mmd_loss_weight)
+    if args.adapter:
+        model = dataclasses.replace(model, adapter=AdapterKind(args.adapter))
+    if args.head_number:
+        model = dataclasses.replace(model, head_number=args.head_number)
+    kw = {}
+    for f in ("epochs", "batch_size", "self_iteration", "self_epochs",
+              "checkpoint_dir", "log_dir", "num_devices"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    if args.vae_lr is not None:
+        kw["vae_lr"] = args.vae_lr
+    if args.self_strategy:
+        kw["self_strategy"] = SelfStrategy(args.self_strategy)
+    if args.debug_nans:
+        kw["debug_nans"] = True
+    if args.profile_dir:
+        kw["profile_dir"] = args.profile_dir
+    if kw:
+        train = dataclasses.replace(train, **kw)
+    return dataclasses.replace(cfg, data=data, loss=loss, model=model,
+                               train=train)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="ec_mmd_final_mul_newsplit_emnlp",
+                   choices=sorted(PRESETS))
+    p.add_argument("--data_root", default="")
+    p.add_argument("--language", default="")
+    p.add_argument("--source_domain", default="")
+    p.add_argument("--target_domain", default="")
+    p.add_argument("--max_len", type=int, default=0)
+    p.add_argument("--regularizer", default="",
+                   choices=["", "none", "mmd", "hsic", "gan", "vi"])
+    p.add_argument("--mmd_loss_weight", type=float, default=None)
+    p.add_argument("--adapter", default="",
+                   choices=["", "none", "raw", "sparsemax", "entmax"])
+    p.add_argument("--head_number", type=int, default=0)
+    p.add_argument("--encoder", default="base",
+                   help="tiny | base (bf16) | base_f32")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--vae_lr", type=float, default=None)
+    p.add_argument("--self_iteration", type=int, default=None)
+    p.add_argument("--self_epochs", type=int, default=None)
+    p.add_argument("--self_strategy", default="",
+                   choices=["", "threshold", "random", "extreme",
+                            "temporal_order", "temporal_order_modification"])
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--cache_dir", default=".carel_cache")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="devices for the data mesh (0/None = all)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax_debug_nans (the reference's anomaly detection)")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of the first epoch here")
+    p.add_argument("--max_train_docs", type=int, default=0)
+    p.add_argument("--max_test_docs", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _setup_backend(args) -> None:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+
+def cmd_train(args) -> int:
+    _setup_backend(args)
+    import jax
+    import numpy as np
+
+    from carel_tpu.pipeline import build_pipeline, init_state
+    from carel_tpu.selftrain import self_train
+    from carel_tpu.train.logging import JsonlLogger
+    from carel_tpu.train.loop import train_epochs
+    from carel_tpu.train.steps import make_eval_step, make_train_step
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    pipe = build_pipeline(cfg, cache_dir=args.cache_dir, encoder_cfg=enc,
+                          max_train_docs=args.max_train_docs,
+                          max_test_docs=args.max_test_docs)
+    cfg = pipe.cfg
+    logger = JsonlLogger(cfg.train.log_dir, f"{args.preset}_{pipe.model_id[:8]}")
+    logger.log({"event": "config", "preset": args.preset,
+                "model_id": pipe.model_id,
+                "train_pairs": len(pipe.train_arrays),
+                "test_pairs": len(pipe.test_arrays),
+                "num_unpred": pipe.num_unpred_pairs,
+                "bow_dim": cfg.model.bow_dim,
+                "vocab": cfg.model.encoder.vocab_size})
+
+    mesh = None
+    if cfg.train.num_devices and cfg.train.num_devices > 1:
+        from carel_tpu.parallel.mesh import make_mesh
+        from carel_tpu.parallel.sharding import shard_params
+
+        mesh = make_mesh(cfg.train.num_devices, axes=("data",))
+
+    state = init_state(pipe)
+    train_step = make_train_step(cfg, pipe.model)
+    eval_step = make_eval_step(cfg, pipe.model)
+
+    if cfg.train.profile_dir:
+        import jax.profiler
+
+        jax.profiler.start_trace(cfg.train.profile_dir)
+
+    state, best = train_epochs(
+        cfg, state, train_step, eval_step, pipe.train_arrays,
+        pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id,
+        logger=logger, mesh=mesh)
+    logger.log({"event": "base_done", "p": best[0], "r": best[1],
+                "f1": best[2]})
+
+    if cfg.train.profile_dir:
+        jax.profiler.stop_trace()
+
+    if cfg.train.self_iteration > 0:
+        state, sbest = self_train(
+            cfg, state, train_step, eval_step, pipe.test_pairs,
+            pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,
+            pipe.model_id, logger=logger, mesh=mesh)
+        logger.log({"event": "self_done", "p": sbest[0], "r": sbest[1],
+                    "f1": sbest[2]})
+    print(json.dumps({"model_id": pipe.model_id, "best_f1": best[2]}))
+    return 0
+
+
+def cmd_stage1(args) -> int:
+    _setup_backend(args)
+    import os
+
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.stage1 import build_doc_arrays
+    from carel_tpu.stage1.trainer import Stage1Config, train_stage1
+    from carel_tpu.train.logging import JsonlLogger
+
+    language = args.language or "zh"
+    s1 = Stage1Config(
+        language=language,
+        source_domain=args.source_domain or "home",
+        target_domain=args.target_domain or "education",
+        training_epoch=args.epochs if args.epochs is not None else 10,
+        batch_size=args.batch_size or 4,
+        clause_mixer=args.clause_mixer,
+        fresh_adam=not args.carried_adam,
+        save_dir=args.save_dir,
+    )
+    root = args.data_root
+    if language == "zh":
+        d = os.path.join(root, "data/ECPE_new_dataset")
+    else:
+        d = os.path.join(root, "domains/Englishnovel_multiple")
+    train_path = os.path.join(d, f"{s1.source_domain}.txt")
+    test_path = os.path.join(d, f"{s1.target_domain}.txt")
+
+    train_docs = parse_ecpe_file(train_path)
+    test_docs = parse_ecpe_file(test_path)
+    if args.max_train_docs:
+        train_docs = train_docs[: args.max_train_docs]
+    if args.max_test_docs:
+        test_docs = test_docs[: args.max_test_docs]
+
+    corpus = [c.text for doc in train_docs + test_docs for c in doc.clauses]
+    tok_cache = os.path.join(args.cache_dir, f"tokenizer_{language}.json")
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tokenizer = build_tokenizer(language, corpus, tok_cache)
+
+    strip = language == "zh"
+    train_arr = build_doc_arrays(train_docs, tokenizer,
+                                 s1.max_doc_len, s1.max_sen_len, strip)
+    test_arr = build_doc_arrays(test_docs, tokenizer,
+                                s1.max_doc_len, s1.max_sen_len, strip)
+
+    enc = _encoder_preset(args.encoder, language)
+    enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
+    logger = JsonlLogger(args.log_dir or "emotion_logs", "stage1")
+    params, best, pair_file = train_stage1(
+        s1, enc, train_arr, test_arr, tokenizer, logger)
+    print(json.dumps({"best_f1": best[2], "pair_file": pair_file}))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    _setup_backend(args)
+    import jax
+
+    from carel_tpu.infer import run_pair_inference
+    from carel_tpu.pipeline import build_pipeline, init_state
+    from carel_tpu.train import checkpoint as ckpt
+    from carel_tpu.train.steps import make_eval_step
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    pipe = build_pipeline(cfg, cache_dir=args.cache_dir, encoder_cfg=enc,
+                          max_test_docs=args.max_test_docs)
+    cfg = pipe.cfg
+    state = init_state(pipe)
+    params = state.params
+    if args.model_id:
+        params = ckpt.load_best(cfg.train.checkpoint_dir, args.model_id, params)
+    eval_step = make_eval_step(cfg, pipe.model)
+    res = run_pair_inference(
+        eval_step, params, pipe.test_pairs, pipe.test_arrays,
+        jax.random.key(0), cfg.train.eval_batch_size,
+        output_dir=args.output_dir, model_id=args.model_id or pipe.model_id)
+    print(json.dumps({
+        "precision": res.precision, "recall": res.recall, "f1": res.f1,
+        "p50_batch_ms": res.p50_batch_ms, "p95_batch_ms": res.p95_batch_ms,
+        "pairs_per_sec": res.pairs_per_sec,
+    }))
+    return 0
+
+
+def cmd_presets(_args) -> int:
+    for name, cfg in sorted(PRESETS.items()):
+        print(f"{name}: regularizer={cfg.loss.regularizer.value}, "
+              f"language={cfg.data.language}, "
+              f"{cfg.data.source_domain}->{cfg.data.target_domain}")
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(prog="carel_tpu",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="stage-2 DRL pair classifier")
+    _add_common(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_s1 = sub.add_parser("stage1", help="doc-level emotion + pair files")
+    _add_common(p_s1)
+    p_s1.add_argument("--clause_mixer", default="bilstm",
+                      choices=["bilstm", "transformer"])
+    p_s1.add_argument("--carried_adam", action="store_true",
+                      help="use a standard carried Adam instead of the "
+                           "reference's fresh-Adam-per-step quirk")
+    p_s1.add_argument("--save_dir", default="")
+    p_s1.set_defaults(fn=cmd_stage1)
+
+    p_inf = sub.add_parser("infer", help="batched pair inference")
+    _add_common(p_inf)
+    p_inf.add_argument("--model_id", default="")
+    p_inf.add_argument("--output_dir", default="")
+    p_inf.set_defaults(fn=cmd_infer)
+
+    p_pre = sub.add_parser("presets", help="list presets")
+    p_pre.set_defaults(fn=cmd_presets)
+
+    p_bench = sub.add_parser("bench", help="train-step throughput")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

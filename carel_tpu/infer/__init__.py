@@ -1,0 +1,1 @@
+from carel_tpu.infer.pair_inference import InferenceResult, run_pair_inference, score_pairs  # noqa: F401

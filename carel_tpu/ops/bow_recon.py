@@ -9,9 +9,9 @@ Reference semantics (flagship :381-387, :252-254):
 The BoW targets arrive SPARSE (per-example term indices + normalized counts,
 carel_tpu.data.bow.BowVocab.batch_sparse); densification happens on device as
 a scatter — the host never ships an [N, V] matrix. For V ~ 24k and B = 64 the
-whole computation is one XLA fusion after the decoder matmul; a Pallas version
-that fuses the decoder matmul + online softmax + BCE reduction (never
-materializing [B, V] in HBM) is in carel_tpu.ops.pallas_bow.
+whole computation is one XLA fusion after the decoder matmul. (A Pallas
+kernel fusing the decoder matmul + softmax + BCE so [B, V] logits never
+touch HBM is tracked as follow-up perf work.)
 """
 
 from __future__ import annotations

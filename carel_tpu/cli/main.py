@@ -66,6 +66,9 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         loss = dataclasses.replace(loss, mmd_loss_weight=args.mmd_loss_weight)
     if args.adapter:
         model = dataclasses.replace(model, adapter=AdapterKind(args.adapter))
+    if getattr(args, "hf_encoder", ""):
+        model = dataclasses.replace(model, pretrained_encoder=args.hf_encoder)
+        data = dataclasses.replace(data, tokenizer=args.hf_encoder)
     if args.head_number:
         model = dataclasses.replace(model, head_number=args.head_number)
     kw = {}
@@ -104,6 +107,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--head_number", type=int, default=0)
     p.add_argument("--encoder", default="base",
                    help="tiny | base (bf16) | base_f32")
+    p.add_argument("--hf_encoder", default="",
+                   help="local HF checkpoint dir to init the encoder from")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--vae_lr", type=float, default=None)

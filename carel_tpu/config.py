@@ -108,6 +108,10 @@ class ModelConfig:
     # compat_sampling=True reproduces it exactly; False uses the textbook VAE
     # sampling (per-example noise, exp(0.5*log_var)).
     compat_sampling: bool = True
+    # Local HF checkpoint directory (pytorch_model.bin/model.safetensors +
+    # config.json) to initialize the encoder from; empty = random init
+    # (the no-egress TPU environment cannot download from the hub).
+    pretrained_encoder: str = ""
 
 
 @dataclass(frozen=True)

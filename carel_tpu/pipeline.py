@@ -125,9 +125,16 @@ def build_pipeline(
         corpus = [c.text for doc in bow_docs for c in doc.clauses]
     tokenizer = build_tokenizer(cfg.data.language, corpus, tok_cache, hf)
 
-    # size the model to the data
-    enc = encoder_cfg or cfg.model.encoder
-    enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
+    # size the model to the data; a local HF checkpoint dictates the encoder
+    # config (and its tokenizer should be passed via data.tokenizer)
+    if cfg.model.pretrained_encoder:
+        from carel_tpu.models.hf_port import encoder_config_from_hf
+
+        enc = encoder_config_from_hf(cfg.model.pretrained_encoder,
+                                     (encoder_cfg or cfg.model.encoder).dtype)
+    else:
+        enc = encoder_cfg or cfg.model.encoder
+        enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
     model_cfg = dataclasses.replace(cfg.model, encoder=enc, bow_dim=len(bow))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
@@ -160,5 +167,12 @@ def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True
              jnp.zeros((B, L), jnp.int32))
     variables = pipe.model.init(
         {"params": p_rng, "sample": s_rng}, *dummy)
-    return create_train_state(cfg, variables["params"], state_rng,
+    params = variables["params"]
+    if cfg.model.pretrained_encoder:
+        from carel_tpu.models.hf_port import port_hf_encoder
+
+        params = dict(params)
+        params["encoder"] = port_hf_encoder(cfg.model.pretrained_encoder,
+                                            cfg.model.encoder)
+    return create_train_state(cfg, params, state_rng,
                               compat_frozen_latent_heads)

@@ -141,6 +141,19 @@ class ZhCharTokenizer(BaseTokenizer):
         unk = self.unk_id
         return [get(ch, unk) for ch in text if not ch.isspace()]
 
+    def encode_batch(self, texts: Sequence[str], max_len: int) -> Encoded:
+        # native C fast path (carel_tpu.native); falls back to the Python
+        # loop when no compiler is available
+        try:
+            from carel_tpu.native.fast_tokenizer import native_encode_batch
+
+            out = native_encode_batch(self, [str(t) for t in texts], max_len)
+            if out is not None:
+                return Encoded(*out)
+        except Exception:
+            pass
+        return super().encode_batch(texts, max_len)
+
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         toks = []
         for i in ids:

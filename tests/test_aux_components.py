@@ -169,3 +169,50 @@ def test_train_domain_embedder_smoke():
                             learning_rate=1e-3),
         cfg, tok, texts, labels)
     assert "layer_0" in params
+
+
+def test_original_drl_one_step():
+    from carel_tpu.models.drl_original import (
+        DrlOriginalModel,
+        OriginalModelConfig,
+    )
+    from carel_tpu.train.steps_original import (
+        OriginalLossConfig,
+        make_original_train_step,
+    )
+
+    enc = tiny_encoder_config(vocab_size=128)
+    mcfg = OriginalModelConfig(encoder=enc, ec_dim=8, con_dim=16, bow_dim=32,
+                               dropout=0.1)
+    model = DrlOriginalModel(mcfg)
+    rng = np.random.default_rng(0)
+    B, L = 8, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (B, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "token_type_ids": jnp.zeros((B, L), jnp.int32),
+        "pair_labels": jnp.asarray(rng.integers(0, 2, B), jnp.float32),
+        "emotion_labels": jnp.asarray(rng.integers(0, 6, B), jnp.int32),
+        "bow_indices": jnp.asarray(rng.integers(0, 32, (B, 4)), jnp.int32),
+        "bow_weights": jnp.full((B, 4), 0.25, jnp.float32),
+        "example_mask": jnp.ones(B, jnp.float32),
+    }
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        batch["input_ids"], batch["attention_mask"],
+        batch["token_type_ids"], deterministic=False)["params"]
+    for learned in (False, True):
+        lcfg = OriginalLossConfig(learned_bow_weights=learned, vae_lr=1e-3)
+        build = make_original_train_step(lcfg, model)
+        state, step = build(params, jax.random.key(3))
+        state2, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["vae_loss"]))
+        assert np.isfinite(float(metrics["disc_loss"]))
+        # latent projections frozen; discs move via RMSprop
+        np.testing.assert_array_equal(
+            np.asarray(state["params"]["content_mu"]["kernel"]),
+            np.asarray(state2["params"]["content_mu"]["kernel"]))
+        d0 = state["params"]["ec_disc"]["kernel"]
+        d1 = state2["params"]["ec_disc"]["kernel"]
+        assert float(jnp.abs(jnp.asarray(d1) - jnp.asarray(d0)).max()) > 0

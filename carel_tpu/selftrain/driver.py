@@ -35,12 +35,19 @@ def self_train(
     logger: Optional[JsonlLogger] = None,
     mesh=None,
     iterations: Optional[int] = None,
+    track_memorization: bool = False,
 ) -> Tuple[TrainState, Tuple[float, float, float]]:
+    """Self-training loop. With track_memorization, the per-iteration churn
+    of pseudo-positive pair selections is recorded (the analysis of
+    drl_classifier_ec_mmd_final_mul_memorization.py: pos_changes %, plus
+    per-iteration P/R/F1 series) and logged as 'memorization' events;
+    the history is attached to the returned metrics via logger records."""
     logger = logger or JsonlLogger(echo=False)
     iterations = iterations if iterations is not None else cfg.train.self_iteration
     rng = np.random.default_rng(cfg.train.seed + 13)
     eval_rng = jax.random.key(cfg.train.seed + 29)
 
+    prev_pos: set = set()
     best = (0.0, 0.0, 0.0)
     for i in range(iterations):
         eval_rng, sub = jax.random.split(eval_rng)
@@ -55,6 +62,17 @@ def self_train(
         pseudo_arrays = encode(pseudo)
         logger.log({"event": "selftrain_iter", "iteration": i + 1,
                     "pseudo_pairs": len(pseudo)})
+        if track_memorization:
+            pos_now = {e.pair for e in pseudo.examples if e.label == 1}
+            if prev_pos:
+                inter = len(pos_now & prev_pos)
+                churn = 1.0 - inter / max(len(pos_now), 1)
+            else:
+                churn = 1.0
+            logger.log({"event": "memorization", "iteration": i + 1,
+                        "pos_pairs": len(pos_now),
+                        "pos_change_rate": churn})
+            prev_pos = pos_now
         state, metrics = train_epochs(
             cfg, state, train_step, eval_step, pseudo_arrays, test_arrays,
             num_unpred_pairs, model_id, epochs=cfg.train.self_epochs,

@@ -1,0 +1,194 @@
+"""Tests for conversion, ordering, vis, clustering, HPO, case analysis."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from carel_tpu.data.ecpe_format import parse_ecpe_file, parse_ecpe_text
+
+
+def test_reccon_conversion(tmp_path):
+    from carel_tpu.tools.convert import reccon_to_ecpe
+
+    src = tmp_path / "reccon.txt"
+    src.write_text(
+        "1 2\n"
+        "(2, 1),\n"
+        "1\thappy\thappiness\tI got the job, finally\n"
+        "2\tneutral\t-1\tthat is great news\n",
+        encoding="utf8")
+    out = tmp_path / "out.txt"
+    reccon_to_ecpe(str(src), str(out))
+    docs = parse_ecpe_file(str(out))
+    assert docs[0].pairs == [(2, 1)]
+    assert docs[0].clause(1).emotion == 0  # happy -> 0
+    assert docs[0].clause(2).emotion == 6  # neutral -> 6
+    # comma stripped from utterance in the default path
+    assert "," not in docs[0].clause(1).text
+
+
+def test_convert_train_to_test(tmp_path):
+    from carel_tpu.tools.convert import convert_train_to_test
+
+    src = tmp_path / "train.txt"
+    src.write_text(
+        "1 2\n (2,1)\n"
+        "1,null,null,clause one text\n"
+        "2,sadness,sad words,clause two text\n",
+        encoding="utf8")
+    out = tmp_path / "test.txt"
+    convert_train_to_test(str(src), str(out))
+    docs = parse_ecpe_file(str(out))
+    assert docs[0].clause(1).cause == -1
+    assert docs[0].clause(2).cause == -1
+    assert docs[0].clause(2).emotion == 1  # sadness word -> code
+
+
+def test_json_to_ecpe_split(tmp_path):
+    from carel_tpu.tools.convert import json_to_ecpe_split
+
+    data = {
+        "1": {"class": "finance", "len": 2, "content": [
+            " (2,1)\n",
+            "1,null,null,a b\n",
+            "2,sadness,难过,c d\n",
+        ]},
+    }
+    src = tmp_path / "new.json"
+    src.write_text(json.dumps(data, ensure_ascii=False), encoding="utf8")
+    written = json_to_ecpe_split(str(src), str(tmp_path / "out"))
+    train_docs = parse_ecpe_file(written["finance"][0])
+    test_docs = parse_ecpe_file(written["finance"][1])
+    assert train_docs[0].pairs == [(2, 1)]
+    assert test_docs[0].clause(2).cause == -1  # test blanks causes
+    assert train_docs[0].clause(2).cause == 6  # '难过' word -> null-coded
+
+
+def test_ordering_probe():
+    from carel_tpu.tools.ordering import ordering_probe
+
+    docs = parse_ecpe_text(
+        "1 3\n (2,1), (3,3)\n"
+        "1,null,null,a\n2,sadness,null,b\n3,anger,null,c\n")
+    stats = ordering_probe(docs)
+    assert stats.total_pairs == 2
+    assert stats.cause_before == 1
+    assert stats.cause_equal == 1
+    assert stats.temporal_order_rate == 1.0
+
+    # with a directional scorer
+    scorer = lambda prem, hyp: 1.0 if prem < hyp else 0.0
+    stats2 = ordering_probe(docs, scorer)
+    assert stats2.scored_pairs == 1  # self-chain pair skipped
+
+
+def test_vis_pipeline(tmp_path):
+    from carel_tpu.tools.vis import visualize_domain_shift
+
+    texts = ["apple banana fruit"] * 10 + ["car engine wheel road"] * 10
+    labels = ["food"] * 10 + ["auto"] * 10
+    out = str(tmp_path / "domains.png")
+    path = visualize_domain_shift(texts, labels, out, method="pca")
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 1000
+
+
+def test_idec_clustering_and_chi2():
+    from carel_tpu.tools.clustering import (
+        IdecConfig,
+        emotion_cluster_chi2,
+        train_idec,
+    )
+
+    rng = np.random.default_rng(0)
+    # two separated gaussian blobs
+    a = rng.normal(0, 0.3, (40, 16))
+    b = rng.normal(4, 0.3, (40, 16))
+    data = np.concatenate([a, b]).astype(np.float32)
+    cfg = IdecConfig(z_dim=4, n_clusters=2, pretrain_epochs=20,
+                     refine_steps=20, batch_size=32, lr=1e-3)
+    assign, art = train_idec(data, cfg)
+    # the two blobs land in different clusters
+    assert len(np.unique(assign[:40])) >= 1
+    purity = max((assign[:40] == c).mean() for c in np.unique(assign))
+    assert purity > 0.8
+
+    emotions = np.asarray([0] * 40 + [1] * 40)
+    res = emotion_cluster_chi2(assign, emotions)
+    assert res["p_value"] < 0.05  # clusters align with labels
+
+
+def test_hpo_random_search_with_pruning():
+    from carel_tpu.config import PRESETS
+    from carel_tpu.tools.hpo import DEFAULT_SPACE, TrialPruned, search
+
+    calls = []
+
+    def objective(cfg, report):
+        # deterministic objective rewarding high mmd weight
+        v = min(cfg.loss.mmd_loss_weight / 100.0, 1.0)
+        for step in range(3):
+            report(step, v)
+        calls.append(v)
+        return v
+
+    best, trials = search(objective, PRESETS["ec_mmd_final_mul"],
+                          n_trials=20, seed=0)
+    assert best is not None and best.value == max(
+        t.value for t in trials if t.value is not None)
+    assert any(t.pruned for t in trials)  # median pruner fired
+    # pruned trials have intermediate reports but no final value
+    pruned = [t for t in trials if t.pruned]
+    assert all(t.value is None and t.intermediate for t in pruned)
+
+
+def test_case_analysis(tmp_path):
+    import random
+
+    import jax
+
+    from carel_tpu.config import (
+        CarelConfig, DataConfig, LossConfig, ModelConfig, Regularizer,
+        TrainConfig,
+    )
+    from carel_tpu.data.batching import encode_pairs
+    from carel_tpu.data.bow import BowVocab
+    from carel_tpu.data.pairs import build_pairs
+    from carel_tpu.data.tokenizer import ZhCharTokenizer
+    from carel_tpu.models.drl import DrlModel
+    from carel_tpu.models.encoder import tiny_encoder_config
+    from carel_tpu.tools.case_analysis import compare_checkpoints
+    from carel_tpu.train.steps import make_eval_step
+
+    docs = parse_ecpe_text(
+        "1 3\n (2,2)\n1,null,null,a b\n2,sadness,null,c d\n3,null,null,e f\n"
+        "2 3\n (1,2)\n1,happiness,null,g h\n2,null,null,i j\n3,null,null,k l\n")
+    pairs = build_pairs(docs, test=True)
+    tok = ZhCharTokenizer.from_corpus(["abcdefghijkl"])
+    bow = BowVocab.from_words(["ab"], "zh")
+    arrays = encode_pairs(pairs, tok, bow, max_len=16)
+
+    cfg = CarelConfig(
+        model=ModelConfig(encoder=tiny_encoder_config(vocab_size=tok.vocab_size),
+                          ec_dim=8, bow_dim=1),
+        loss=LossConfig(regularizer=Regularizer.MMD),
+        data=DataConfig(max_len=16), train=TrainConfig(donate=False))
+    model = DrlModel(cfg.model)
+    dummy = (arrays.input_ids[:2], arrays.attention_mask[:2],
+             arrays.token_type_ids[:2])
+    pa = model.init({"params": jax.random.key(0),
+                     "sample": jax.random.key(1)}, *dummy)["params"]
+    pb = model.init({"params": jax.random.key(2),
+                     "sample": jax.random.key(3)}, *dummy)["params"]
+    ev = make_eval_step(cfg, model)
+    out_csv = str(tmp_path / "cmp.csv")
+    res = compare_checkpoints(ev, pa, pb, pairs, arrays, docs, out_csv,
+                              batch_size=8)
+    assert os.path.exists(out_csv)
+    assert res.self_chain_counts["total"] >= 1
+    assert res.normal_counts["total"] >= 1
+    with open(out_csv, encoding="utf8") as f:
+        header = f.readline().strip().split(",")
+    assert header == ["pair", "label", "mmd_pred", "wommd_pred", "self_chain"]

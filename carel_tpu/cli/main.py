@@ -129,6 +129,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_train_docs", type=int, default=0)
     p.add_argument("--max_test_docs", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--ops_impl", default="xla", choices=["xla", "pallas"],
+                   help="regularizer kernel implementation")
 
 
 def _setup_backend(args) -> None:
@@ -174,7 +176,7 @@ def cmd_train(args) -> int:
         mesh = make_mesh(cfg.train.num_devices, axes=("data",))
 
     state = init_state(pipe)
-    train_step = make_train_step(cfg, pipe.model)
+    train_step = make_train_step(cfg, pipe.model, ops_impl=args.ops_impl)
     eval_step = make_eval_step(cfg, pipe.model)
 
     if cfg.train.profile_dir:
@@ -305,6 +307,54 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from carel_tpu.tools import convert as cv
+
+    if args.kind == "reccon":
+        cv.reccon_to_ecpe(args.source[0], args.target,
+                          minusone=args.minusone,
+                          bow_optimize=args.bow_optimize)
+    elif args.kind == "train_to_test":
+        cv.convert_train_to_test(args.source[0], args.target,
+                                 args.bow_optimize)
+    elif args.kind == "json_split":
+        cv.json_to_ecpe_split(args.source[0], args.target)
+    elif args.kind == "bow_concat":
+        cv.concat_bow_corpus(list(args.source), args.target)
+    print(json.dumps({"written": args.target}))
+    return 0
+
+
+def cmd_ordering(args) -> int:
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.tools.ordering import ordering_probe
+
+    stats = ordering_probe(parse_ecpe_file(args.file))
+    print(json.dumps({
+        "total_pairs": stats.total_pairs,
+        "cause_before": stats.cause_before,
+        "cause_equal": stats.cause_equal,
+        "cause_after": stats.cause_after,
+        "temporal_order_rate": stats.temporal_order_rate,
+    }))
+    return 0
+
+
+def cmd_vis(args) -> int:
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.tools.vis import visualize_domain_shift
+
+    texts, labels = [], []
+    for path in args.files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        for doc in parse_ecpe_file(path):
+            texts.append(" ".join(c.text.strip() for c in doc.clauses))
+            labels.append(name)
+    out = visualize_domain_shift(texts, labels, args.out, method=args.method)
+    print(json.dumps({"written": out, "docs": len(texts)}))
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     parser = argparse.ArgumentParser(prog="carel_tpu",
                                      description=__doc__.split("\n")[0])
@@ -335,6 +385,26 @@ def main(argv: Optional[list] = None) -> int:
 
     p_bench = sub.add_parser("bench", help="train-step throughput")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_conv = sub.add_parser("convert", help="dataset conversion tools")
+    p_conv.add_argument("kind", choices=["reccon", "train_to_test",
+                                         "json_split", "bow_concat"])
+    p_conv.add_argument("--source", required=True, nargs="+")
+    p_conv.add_argument("--target", required=True)
+    p_conv.add_argument("--bow_optimize", action="store_true")
+    p_conv.add_argument("--minusone", action="store_true")
+    p_conv.set_defaults(fn=cmd_convert)
+
+    p_ord = sub.add_parser("ordering", help="temporal-order probe")
+    p_ord.add_argument("--file", required=True)
+    p_ord.set_defaults(fn=cmd_ordering)
+
+    p_vis = sub.add_parser("vis", help="domain-shift visualization")
+    p_vis.add_argument("--files", required=True, nargs="+",
+                       help="ECPE files; one domain label per file")
+    p_vis.add_argument("--out", default="domains.png")
+    p_vis.add_argument("--method", default="pca", choices=["pca", "tsne"])
+    p_vis.set_defaults(fn=cmd_vis)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -84,6 +84,9 @@ class EncoderConfig:
     # compute dtype; params stay float32
     dtype: str = "bfloat16"
     remat: bool = False  # jax.checkpoint the encoder layers
+    # attention implementation: "xla" (fused by the compiler) or "flash"
+    # (the stock Pallas TPU flash-attention kernel; TPU only)
+    attention_impl: str = "xla"
 
 
 @dataclass(frozen=True)

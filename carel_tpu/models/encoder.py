@@ -17,6 +17,7 @@ designed for the MXU:
 
 from __future__ import annotations
 
+from math import sqrt as np_sqrt
 from typing import Optional
 
 import jax
@@ -44,15 +45,37 @@ class SelfAttention(nn.Module):
 
         qkv = nn.DenseGeneral((3, h, hd), dtype=dtype, name="qkv")(x)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, L, h, hd]
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-        scores = scores + bias  # bias is [B, 1, 1, L] float32
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).astype(dtype)
+
+        use_flash = (cfg.attention_impl == "flash"
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            # the stock Pallas TPU kernel (with its built-in custom VJP);
+            # padding is masked via segment ids so real tokens never attend
+            # to pads. Attention-probability dropout is not applied on this
+            # path (the kernel has no dropout support) — residual/MLP
+            # dropout still applies; ~2x faster at large batch.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            seg = (bias[:, 0, 0, :] > -1.0).astype(jnp.int32) + 1
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3).astype(dtype),
+                k.transpose(0, 2, 1, 3).astype(dtype),
+                v.transpose(0, 2, 1, 3).astype(dtype),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=1.0 / float(np_sqrt(hd)),
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            scores = scores + bias  # bias is [B, 1, 1, L] float32
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v,
+                preferred_element_type=jnp.float32
+            ).astype(dtype)
         out = nn.DenseGeneral(d, axis=(-2, -1), dtype=dtype, name="out")(ctx)
         return out
 

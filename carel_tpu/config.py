@@ -289,6 +289,17 @@ register_preset(
 )
 
 register_preset(
+    "drl_en",  # drl_classifier_en.py: old-split English flagship
+    _preset(
+        "drl_en",
+        loss=LossConfig(regularizer=Regularizer.MMD),
+        data=DataConfig(language="en", source_domain="history_num",
+                        target_domain="war_new", newsplit=False,
+                        bow_optimize=False, predicted_emotion=False),
+    ),
+)
+
+register_preset(
     "en_newsplit",
     _preset(
         "en_newsplit",

@@ -52,6 +52,9 @@ class Stage1Config:
     training_epoch: int = 10
     self_epoch: int = 5
     threshold: float = 0.7
+    # pseudo-label up to top_k confident emotion clauses per doc; the 'com'
+    # variant (baseline_emotion_classifier_com.py:33-34) uses top_k=2
+    top_k: int = 1
     batch_size: int = 4
     learning_rate: float = 2e-5
     keep_softmax: float = 1.0
@@ -134,23 +137,27 @@ def _predict_all(eval_step, params, arr: DocArrays, batch_size: int = 8
     return np.concatenate(preds, 0)
 
 
-def _self_label(arr: DocArrays, probs: np.ndarray, threshold: float
-                ) -> Optional[DocArrays]:
-    """Pseudo-label target docs whose best emotion clause clears the
-    threshold (generate_self_train_data, devin :106-160)."""
+def _self_label(arr: DocArrays, probs: np.ndarray, threshold: float,
+                top_k: int = 1) -> Optional[DocArrays]:
+    """Pseudo-label target docs whose best emotion clause(s) clear the
+    threshold (generate_self_train_data, devin :106-160; the 'com' variant
+    keeps up to top_k confident clauses, com :33-34)."""
     keep, y_new = [], []
     for i in range(len(arr)):
         d = int(arr.doc_len[i])
-        best_prob, best_j, best_e = -1.0, -1, -1
+        candidates = []  # (prob, clause, emotion)
         for j in range(d):
             e = int(np.argmax(probs[i, j]))
-            if e != 6 and probs[i, j, e] > best_prob:
-                best_prob, best_j, best_e = float(probs[i, j, e]), j, e
-        if best_j >= 0 and best_prob > threshold:
+            if e != 6:
+                candidates.append((float(probs[i, j, e]), j, e))
+        candidates.sort(reverse=True)
+        chosen = [(j, e) for p, j, e in candidates[:top_k] if p > threshold]
+        if chosen:
             y = np.zeros_like(arr.y_emotion[i])
+            chosen_map = dict(chosen)
             for j in range(d):
-                if j == best_j:
-                    y[j, best_e] = 1.0
+                if j in chosen_map:
+                    y[j, chosen_map[j]] = 1.0
                 else:
                     y[j, 6] = 1.0
             keep.append(i)
@@ -231,7 +238,7 @@ def train_stage1(
     params = best_params
     probs = best_probs
     while True:
-        pseudo = _self_label(test_arr, probs, cfg.threshold)
+        pseudo = _self_label(test_arr, probs, cfg.threshold, cfg.top_k)
         size = len(train_arr) + (len(pseudo) if pseudo is not None else 0)
         if size <= last_size or pseudo is None:
             break

@@ -45,6 +45,32 @@ def prf_with_forced_misses(
     return binary_prf(labels, preds)
 
 
+def prf_2nd_step(
+    pair_id_all: Sequence[int],
+    pair_id: Sequence[int],
+    pred_y: Sequence[int],
+) -> Tuple[float, float, float, float, float, float, float]:
+    """Second-step pair-filtering metric (data_process.py:162-212).
+
+    pair ids encode doc*10000 + emotion*100 + cause. Returns
+    (p, r, f1, o_p, o_r, o_f1, keep_rate): the filtered metrics over pairs the
+    classifier kept (pred_y truthy) and the unfiltered ("o_") metrics over all
+    candidates, with the reference's 1e-8 smoothing.
+    """
+    pair_id_filtered = [pid for pid, y in zip(pair_id, pred_y) if y]
+    keep_rate = len(pair_id_filtered) / (len(pair_id) + 1e-8)
+    s1, s2, s3 = set(pair_id_all), set(pair_id), set(pair_id_filtered)
+    o_acc = len(s1 & s2)
+    acc = len(s1 & s3)
+    o_p = o_acc / (len(s2) + 1e-8)
+    o_r = o_acc / (len(s1) + 1e-8)
+    p = acc / (len(s3) + 1e-8)
+    r = acc / (len(s1) + 1e-8)
+    f1 = 2 * p * r / (p + r + 1e-8)
+    o_f1 = 2 * o_p * o_r / (o_p + o_r + 1e-8)
+    return p, r, f1, o_p, o_r, o_f1, keep_rate
+
+
 def micro_prf(
     pred_y: np.ndarray,
     true_y: np.ndarray,

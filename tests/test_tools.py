@@ -192,3 +192,93 @@ def test_case_analysis(tmp_path):
     with open(out_csv, encoding="utf8") as f:
         header = f.readline().strip().split(",")
     assert header == ["pair", "label", "mmd_pred", "wommd_pred", "self_chain"]
+
+
+def test_prf_2nd_step():
+    from carel_tpu.train.metrics import prf_2nd_step
+
+    # doc 1: gold pairs (1,2); candidates (1,2) kept, (1,3) filtered out
+    pair_id_all = [10102]
+    pair_id = [10102, 10103]
+    pred_y = [1, 0]
+    p, r, f1, o_p, o_r, o_f1, keep = prf_2nd_step(pair_id_all, pair_id, pred_y)
+    assert abs(p - 1.0) < 1e-6
+    assert abs(r - 1.0) < 1e-6
+    assert abs(o_p - 0.5) < 1e-6
+    assert abs(keep - 0.5) < 1e-6
+
+
+def test_utils_text_helpers():
+    import jax.numpy as jnp
+
+    from carel_tpu.utils.text import getmask, softmax_by_length
+
+    m = getmask(jnp.asarray([2, 4]), 4)
+    np.testing.assert_array_equal(np.asarray(m),
+                                  [[1, 1, 0, 0], [1, 1, 1, 1]])
+    x = jnp.ones((2, 1, 4))
+    sm = np.asarray(softmax_by_length(x, jnp.asarray([2, 4])))
+    np.testing.assert_allclose(sm[0, 0], [0.5, 0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(sm[1, 0], [0.25] * 4, atol=1e-6)
+
+
+def test_event_analysis():
+    from carel_tpu.tools.event_analysis import analyze_cause_clauses
+
+    docs = parse_ecpe_text(
+        "1 2\n (2,1)\n1,null,null,他 跑 了\n2,sadness,null,很 难 过\n")
+    res = analyze_cause_clauses(docs)
+    assert res.clause_count == 1
+    assert res.pos_counts  # jieba produced tags
+
+
+def test_memorization_plot(tmp_path):
+    import json as _json
+
+    from carel_tpu.tools.memorization_plot import plot_memorization
+
+    log = tmp_path / "log.jsonl"
+    recs = [
+        {"event": "memorization", "iteration": 1, "pos_pairs": 10,
+         "pos_change_rate": 1.0},
+        {"event": "memorization", "iteration": 2, "pos_pairs": 10,
+         "pos_change_rate": 0.3},
+        {"event": "selftrain_best", "iteration": 1, "f1": 0.5},
+        {"event": "selftrain_best", "iteration": 2, "f1": 0.6},
+    ]
+    log.write_text("\n".join(_json.dumps(r) for r in recs), encoding="utf8")
+    out = plot_memorization(str(log), str(tmp_path / "mem.png"))
+    assert out and os.path.exists(out)
+
+
+def test_checkpoint_state_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from carel_tpu.config import CarelConfig, ModelConfig, TrainConfig, DataConfig, LossConfig, Regularizer
+    from carel_tpu.models.drl import DrlModel
+    from carel_tpu.models.encoder import tiny_encoder_config
+    from carel_tpu.train import checkpoint as ck
+    from carel_tpu.train.state import create_train_state
+
+    cfg = CarelConfig(
+        model=ModelConfig(encoder=tiny_encoder_config(vocab_size=64),
+                          ec_dim=4, bow_dim=8),
+        loss=LossConfig(regularizer=Regularizer.MMD),
+        data=DataConfig(max_len=8),
+        train=TrainConfig(checkpoint_dir=str(tmp_path), donate=False))
+    model = DrlModel(cfg.model)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    v = model.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
+                   ids, jnp.ones((2, 8), jnp.int32), ids)
+    state = create_train_state(cfg, v["params"], jax.random.key(2))
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    ck.save_state(str(tmp_path), "m1", state)
+
+    fresh = create_train_state(cfg, v["params"], jax.random.key(99))
+    restored = ck.load_state(str(tmp_path), "m1", fresh)
+    assert int(restored.step) == 7
+    # rng restored exactly
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(state.rng)))

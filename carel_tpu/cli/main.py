@@ -227,7 +227,9 @@ def cmd_stage1(args) -> int:
         save_dir=args.save_dir,
     )
     root = args.data_root
-    if language == "zh":
+    if args.doc_dir:
+        d = os.path.join(root, args.doc_dir)
+    elif language == "zh":
         d = os.path.join(root, "data/ECPE_new_dataset")
     else:
         d = os.path.join(root, "domains/Englishnovel_multiple")
@@ -289,6 +291,48 @@ def cmd_infer(args) -> int:
         "p50_batch_ms": res.p50_batch_ms, "p95_batch_ms": res.p95_batch_ms,
         "pairs_per_sec": res.pairs_per_sec,
     }))
+    return 0
+
+
+def cmd_hpo(args) -> int:
+    """Random search + median pruning over loss weights / lr, objective =
+    best pair-F1 of a short training run (drl_classifier_search.py:44-69
+    semantics with a working engine)."""
+    _setup_backend(args)
+    from carel_tpu.pipeline import build_pipeline, init_state
+    from carel_tpu.tools.hpo import DEFAULT_SPACE, search
+    from carel_tpu.train.logging import JsonlLogger
+    from carel_tpu.train.loop import train_epochs
+    from carel_tpu.train.steps import make_eval_step, make_train_step
+
+    base = _apply_overrides(PRESETS[args.preset], args)
+    enc = _encoder_preset(args.encoder, base.data.language)
+    pipe = build_pipeline(base, cache_dir=args.cache_dir, encoder_cfg=enc,
+                          max_train_docs=args.max_train_docs,
+                          max_test_docs=args.max_test_docs)
+    logger = JsonlLogger(base.train.log_dir or "result_logs", "hpo")
+
+    def objective(cfg, report):
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, model=pipe.cfg.model)
+        state = init_state(pipe)
+        ts = make_train_step(cfg, pipe.model, ops_impl=args.ops_impl)
+        es = make_eval_step(cfg, pipe.model)
+        best_f1 = 0.0
+        for epoch in range(cfg.train.epochs):
+            _, best = train_epochs(
+                cfg, state, ts, es, pipe.train_arrays, pipe.test_arrays,
+                pipe.num_unpred_pairs, pipe.model_id, epochs=1, logger=logger)
+            best_f1 = max(best_f1, best[2])
+            report(epoch, best_f1)
+        return best_f1
+
+    best, trials = search(objective, base, DEFAULT_SPACE, args.n_trials,
+                          logger=logger)
+    print(json.dumps({"best_value": best.value if best else None,
+                      "best_params": best.params if best else None,
+                      "trials": len(trials)}))
     return 0
 
 
@@ -372,6 +416,9 @@ def main(argv: Optional[list] = None) -> int:
                       help="use a standard carried Adam instead of the "
                            "reference's fresh-Adam-per-step quirk")
     p_s1.add_argument("--save_dir", default="")
+    p_s1.add_argument("--doc_dir", default="",
+                      help="override the doc-file directory (e.g. "
+                           "domains/THUCTC_multiple for the zh old split)")
     p_s1.set_defaults(fn=cmd_stage1)
 
     p_inf = sub.add_parser("infer", help="batched pair inference")
@@ -405,6 +452,11 @@ def main(argv: Optional[list] = None) -> int:
     p_vis.add_argument("--out", default="domains.png")
     p_vis.add_argument("--method", default="pca", choices=["pca", "tsne"])
     p_vis.set_defaults(fn=cmd_vis)
+
+    p_hpo = sub.add_parser("hpo", help="hyperparameter search")
+    _add_common(p_hpo)
+    p_hpo.add_argument("--n_trials", type=int, default=20)
+    p_hpo.set_defaults(fn=cmd_hpo)
 
     args = parser.parse_args(argv)
     return args.fn(args)

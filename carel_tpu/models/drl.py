@@ -70,7 +70,11 @@ class DrlModel(nn.Module):
         token_type_ids,
         deterministic: bool = True,
         sample: bool = True,
+        compute_recon: bool = True,
     ) -> Dict[str, jnp.ndarray]:
+        """compute_recon=False skips the decoder matmul — the fused Pallas
+        BoW loss (ops_impl='pallas') consumes generative_emb + the decoder
+        params directly and never materializes the [B, V] logits."""
         cfg = self.cfg
         e_feat, c_feat = self.features(
             input_ids, attention_mask, token_type_ids, deterministic)
@@ -95,11 +99,13 @@ class DrlModel(nn.Module):
             "cause_log_var": c_lv,
             "z_emotion": z_e,
             "z_cause": z_c,
+            "generative_emb": pair_emb,
             "emotion_logits": self.heads.emotion_logits(z_e, deterministic),
             "cause_logits": self.heads.cause_logits(z_c, deterministic),
             "pair_logits": self.heads.pair_logits(pair_emb, deterministic),
-            "recon_logits": self.heads.decode(pair_emb),
         }
+        if compute_recon:
+            out["recon_logits"] = self.heads.decode(pair_emb)
 
         # GAN adversaries: discriminator sees stop-gradient latents (their
         # loss must not update the encoder, ec_gan :430-456); the encoder's

@@ -51,8 +51,14 @@ def vae_and_classifier_loss(
     reg_rng=None,
     vi_beta=None,
     ops_impl: str = "xla",
+    decoder_params: Dict = None,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """The weighted multi-task loss (flagship :208-261)."""
+    """The weighted multi-task loss (flagship :208-261).
+
+    With ops_impl='pallas' and decoder_params given, the reconstruction term
+    runs as the fully-fused Pallas kernel (decoder matmul + softmax + BCE,
+    carel_tpu.ops.pallas_bow) from the generative embedding.
+    """
     lc = cfg.loss
     mask = batch["example_mask"]
     emo_labels = batch["emotion_labels"]
@@ -73,9 +79,17 @@ def vae_and_classifier_loss(
     kl_e = ann * kl_loss(out["emotion_mu"], out["emotion_log_var"], mask)
     kl_c = ann * kl_loss(out["cause_mu"], out["cause_log_var"], mask)
 
-    recon = reconstruction_loss(
-        out["recon_logits"], batch["bow_indices"], batch["bow_weights"],
-        lc.label_smoothing, mask)
+    if ops_impl == "pallas" and decoder_params is not None:
+        from carel_tpu.ops.pallas_bow import fused_bow_loss
+
+        recon = fused_bow_loss(
+            out["generative_emb"], decoder_params["kernel"],
+            decoder_params["bias"], batch["bow_indices"],
+            batch["bow_weights"], lc.label_smoothing, mask)
+    else:
+        recon = reconstruction_loss(
+            out["recon_logits"], batch["bow_indices"], batch["bow_weights"],
+            lc.label_smoothing, mask)
 
     reg = regularizer_loss(out, lc, mask, rng=reg_rng, vi_beta=vi_beta,
                            impl=ops_impl)
@@ -117,6 +131,8 @@ def make_train_step(cfg: CarelConfig, model: DrlModel,
     """Build the jitted train step for this config's regularizer."""
     reg = cfg.loss.regularizer
 
+    fused_bow = ops_impl == "pallas"
+
     def forward(params, batch, rng, deterministic=False):
         sample_rng, dropout_rng = jax.random.split(rng)
         return model.apply(
@@ -124,8 +140,12 @@ def make_train_step(cfg: CarelConfig, model: DrlModel,
             batch["input_ids"], batch["attention_mask"],
             batch["token_type_ids"],
             deterministic=deterministic,
+            compute_recon=not fused_bow,
             rngs={"sample": sample_rng, "dropout": dropout_rng},
         )
+
+    def _dec(params):
+        return params["heads"]["decoder"] if fused_bow else None
 
     def step(state, batch, iteration, vi_beta=0.0):
         rng, fwd_rng, reg_rng = jax.random.split(state.rng, 3)
@@ -144,7 +164,8 @@ def make_train_step(cfg: CarelConfig, model: DrlModel,
                 out = forward(params, batch, fwd_rng)
                 total, metrics = vae_and_classifier_loss(
                     cfg, out, batch, iteration, reg_rng=reg_rng,
-                    vi_beta=vi_beta, ops_impl=ops_impl)
+                    vi_beta=vi_beta, ops_impl=ops_impl,
+                    decoder_params=_dec(params))
                 return total, metrics
 
             (loss, metrics), grads = jax.value_and_grad(
@@ -158,7 +179,7 @@ def make_train_step(cfg: CarelConfig, model: DrlModel,
             out = forward(params, batch, fwd_rng)
             total, metrics = vae_and_classifier_loss(
                 cfg, out, batch, iteration, reg_rng=reg_rng,
-                ops_impl=ops_impl)
+                ops_impl=ops_impl, decoder_params=_dec(params))
             if reg == Regularizer.GAN:
                 ec_bce, ce_bce = gan_disc_losses(
                     out, cfg.loss, jnp.ones_like(batch["pair_labels"]),

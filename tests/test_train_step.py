@@ -177,3 +177,26 @@ def test_data_parallel_step_on_mesh():
     state_1dev, metrics_1 = make_train_step(cfg, model)(state, batch, 0, 0.0)
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_1["loss"]), rtol=1e-4)
+
+
+def test_tensor_parallel_step_on_mesh():
+    """dp4 x tp2: encoder weights Megatron-split on 'model', batch on 'data';
+    loss matches the single-device step."""
+    from carel_tpu.parallel.mesh import make_mesh
+    from carel_tpu.parallel.sharding import shard_batch
+    from carel_tpu.parallel.tp import shard_params_tp
+
+    cfg = tiny_cfg(Regularizer.MMD)
+    model, state = make_state(cfg)
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    from carel_tpu.train.state import create_train_state
+
+    tp_params = shard_params_tp(mesh, state.params)
+    tp_state = create_train_state(cfg, tp_params, jax.random.key(2))
+    batch = synth_batch(np.random.default_rng(11), B=16)
+    sharded = shard_batch(mesh, batch)
+    step = make_train_step(cfg, model)
+    tp_state2, m_tp = step(tp_state, sharded, 0, 0.0)
+    state_1, m_1 = make_train_step(cfg, model)(state, batch, 0, 0.0)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                               rtol=1e-4)

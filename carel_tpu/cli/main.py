@@ -145,7 +145,6 @@ def _setup_backend(args) -> None:
 def cmd_train(args) -> int:
     _setup_backend(args)
     import jax
-    import numpy as np
 
     from carel_tpu.pipeline import build_pipeline, init_state
     from carel_tpu.selftrain import self_train
@@ -171,7 +170,6 @@ def cmd_train(args) -> int:
     mesh = None
     if cfg.train.num_devices and cfg.train.num_devices > 1:
         from carel_tpu.parallel.mesh import make_mesh
-        from carel_tpu.parallel.sharding import shard_params
 
         mesh = make_mesh(cfg.train.num_devices, axes=("data",))
 
@@ -291,6 +289,65 @@ def cmd_infer(args) -> int:
         "p50_batch_ms": res.p50_batch_ms, "p95_batch_ms": res.p95_batch_ms,
         "pairs_per_sec": res.pairs_per_sec,
     }))
+    return 0
+
+
+def cmd_pair(args) -> int:
+    """Plain pair classifier (pair_classifier.py / _self_chain.py)."""
+    _setup_backend(args)
+    import random
+
+    from carel_tpu.config import SelfStrategy
+    from carel_tpu.data.batching import encode_pairs
+    from carel_tpu.data.bow import BowVocab
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.data.pairs import build_pairs
+    from carel_tpu.data.self_chain import build_pairs_self_chain
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.pipeline import resolve_paths
+    from carel_tpu.train.logging import JsonlLogger
+    from carel_tpu.train.pair_trainer import (
+        PairTrainerConfig, train_pair_classifier)
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    train_path, test_path, _ = resolve_paths(cfg)
+    train_docs = parse_ecpe_file(train_path)
+    test_docs = parse_ecpe_file(test_path)
+    if args.max_train_docs:
+        train_docs = train_docs[: args.max_train_docs]
+    if args.max_test_docs:
+        test_docs = test_docs[: args.max_test_docs]
+    builder = build_pairs_self_chain if args.self_chain else build_pairs
+    rng = random.Random(cfg.data.seed)
+    train_pairs = builder(train_docs, test=False, rng=rng)
+    test_pairs = builder(test_docs, test=True)
+
+    corpus = [c.text for d in train_docs + test_docs for c in d.clauses]
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tok = build_tokenizer(
+        cfg.data.language, corpus,
+        os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
+    bow = BowVocab.from_words([], cfg.data.language)  # unused by this model
+    enc_arrays = lambda ps: encode_pairs(
+        ps, tok, bow, cfg.data.max_len, sentence_pair=args.sentence_pair)
+
+    pcfg = PairTrainerConfig(
+        max_len=cfg.data.max_len,
+        batch_size=cfg.train.batch_size,
+        epochs=cfg.train.epochs if args.epochs is None else args.epochs,
+        self_epochs=cfg.train.self_epochs,
+        self_iteration=(args.self_iteration
+                        if args.self_iteration is not None else 0),
+        self_strategy=SelfStrategy.THRESHOLD,
+        seed=cfg.train.seed)
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
+    logger = JsonlLogger(cfg.train.log_dir, "pair")
+    num_unpred = getattr(test_pairs, "num_unpred_emotions", 0)
+    params, best = train_pair_classifier(
+        pcfg, enc, enc_arrays(train_pairs), enc_arrays(test_pairs),
+        num_unpred, test_pairs, enc_arrays, logger)
+    print(json.dumps({"p": best[0], "r": best[1], "f1": best[2]}))
     return 0
 
 
@@ -452,6 +509,14 @@ def main(argv: Optional[list] = None) -> int:
     p_vis.add_argument("--out", default="domains.png")
     p_vis.add_argument("--method", default="pca", choices=["pca", "tsne"])
     p_vis.set_defaults(fn=cmd_vis)
+
+    p_pair = sub.add_parser("pair", help="plain (non-VAE) pair classifier")
+    _add_common(p_pair)
+    p_pair.add_argument("--sentence_pair", action="store_true",
+                        help="two-segment encoding (self-chain variant)")
+    p_pair.add_argument("--self_chain", action="store_true",
+                        help="self-chain data reader")
+    p_pair.set_defaults(fn=cmd_pair)
 
     p_hpo = sub.add_parser("hpo", help="hyperparameter search")
     _add_common(p_hpo)

@@ -10,7 +10,7 @@ masked out of every loss/metric, so re-jitting never happens mid-epoch.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Optional
 
 import numpy as np
 

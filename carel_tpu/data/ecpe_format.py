@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 # Header: a 1-4 digit doc id, whitespace, a 1-2 digit doc length. The reference
 # matches with re.search (flagship :640), i.e. anywhere in the line.

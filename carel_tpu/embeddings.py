@@ -13,9 +13,8 @@ end-to-end.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 import optax
 
 from carel_tpu.config import EncoderConfig
-from carel_tpu.data.ecpe_format import EMOTION_TO_CODE, parse_ecpe_file
+from carel_tpu.data.ecpe_format import parse_ecpe_file
 from carel_tpu.data.tokenizer import BaseTokenizer
 from carel_tpu.models.encoder import TransformerEncoder
 

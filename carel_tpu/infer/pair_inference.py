@@ -12,7 +12,6 @@ reported (the BASELINE.json "p50 pair_inference latency" metric).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from dataclasses import dataclass

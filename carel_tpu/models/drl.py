@@ -13,7 +13,7 @@ composes them per the selected regularizer.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from carel_tpu.config import EncoderConfig, ModelConfig
+from carel_tpu.config import EncoderConfig
 from carel_tpu.models.encoder import TransformerEncoder
 from carel_tpu.models.heads import sample_prior
 

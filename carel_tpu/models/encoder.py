@@ -18,7 +18,6 @@ designed for the MXU:
 from __future__ import annotations
 
 from math import sqrt as np_sqrt
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

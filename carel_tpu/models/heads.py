@@ -9,7 +9,6 @@ with softmax ('raw'), sparsemax, or entmax15 attention.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

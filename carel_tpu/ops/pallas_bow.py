@@ -30,11 +30,10 @@ writes of the [B, V] logits. Matches carel_tpu.ops.bow_recon numerically
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

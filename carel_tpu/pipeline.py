@@ -16,9 +16,8 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 
-from carel_tpu.config import CarelConfig, EncoderConfig, ModelConfig
+from carel_tpu.config import CarelConfig, EncoderConfig
 from carel_tpu.data.batching import PairArrays, encode_pairs
 from carel_tpu.data.bow import BowVocab, build_bow_vocab_en, build_bow_vocab_zh
 from carel_tpu.data.ecpe_format import parse_ecpe_file

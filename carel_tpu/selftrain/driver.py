@@ -13,7 +13,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import numpy as np
 
-from carel_tpu.config import CarelConfig, SelfStrategy
+from carel_tpu.config import CarelConfig
 from carel_tpu.data.batching import PairArrays
 from carel_tpu.data.pairs import PairSet
 from carel_tpu.selftrain.strategies import generate_self_train_pairs

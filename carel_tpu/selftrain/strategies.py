@@ -21,7 +21,7 @@ full ranking, which is what we do (with an explicit seeded generator).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -11,7 +11,6 @@ where the clause is the tokenizer's decode of the stored token ids
 from __future__ import annotations
 
 import os
-from typing import Sequence
 
 import numpy as np
 

@@ -20,10 +20,9 @@ source/target features together.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
@@ -32,7 +31,6 @@ import numpy as np
 import optax
 
 from carel_tpu.config import EncoderConfig
-from carel_tpu.models.discriminators import DomainDiscriminator, grad_reverse
 from carel_tpu.models.stage1 import DocEmotionModel
 from carel_tpu.stage1.data import DocArrays
 from carel_tpu.stage1.pair_writer import write_pair_data

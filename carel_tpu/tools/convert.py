@@ -17,7 +17,7 @@ import json
 import os
 import re
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from carel_tpu.data.ecpe_format import EMOTION_TO_CODE, _HEADER_RE
 

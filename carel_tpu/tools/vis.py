@@ -8,7 +8,7 @@ PNG (the reference produced en_doc_domains.png / en_emo_domains.png).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

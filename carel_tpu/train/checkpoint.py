@@ -12,10 +12,9 @@ The reference torch.saves a bare state_dict on every F1 improvement
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -11,7 +11,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
 
 
 class JsonlLogger:

@@ -20,7 +20,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import numpy as np
 
-from carel_tpu.config import CarelConfig, Regularizer
+from carel_tpu.config import CarelConfig
 from carel_tpu.data.batching import Batch, PairArrays, cut_batch, iter_batches
 from carel_tpu.train import checkpoint as ckpt
 from carel_tpu.train.logging import JsonlLogger

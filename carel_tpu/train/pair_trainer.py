@@ -9,7 +9,6 @@ reader) and the CIT triple classifier's training loop (mc_classifier.py
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
@@ -19,7 +18,7 @@ import numpy as np
 import optax
 
 from carel_tpu.config import EncoderConfig, SelfStrategy
-from carel_tpu.data.batching import Batch, PairArrays, cut_batch, iter_batches
+from carel_tpu.data.batching import PairArrays, cut_batch, iter_batches
 from carel_tpu.data.pairs import PairSet
 from carel_tpu.models.pair_classifier import PairClassifierModel
 from carel_tpu.selftrain.strategies import generate_self_train_pairs

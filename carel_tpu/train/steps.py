@@ -20,7 +20,6 @@ over ICI — data parallelism comes from sharding annotations, not code.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax

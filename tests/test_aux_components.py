@@ -216,3 +216,44 @@ def test_original_drl_one_step():
         d0 = state["params"]["ec_disc"]["kernel"]
         d1 = state2["params"]["ec_disc"]["kernel"]
         assert float(jnp.abs(jnp.asarray(d1) - jnp.asarray(d0)).max()) > 0
+
+
+def test_pair_scorer_serving_api():
+    import dataclasses
+
+    from carel_tpu.config import (
+        CarelConfig, DataConfig, LossConfig, ModelConfig, Regularizer,
+        TrainConfig,
+    )
+    from carel_tpu.infer import PairScorer
+    from carel_tpu.models.drl import DrlModel
+
+    tok = ZhCharTokenizer.from_corpus(["他很难过天气变冷她笑了收到礼物"])
+    cfg = CarelConfig(
+        model=ModelConfig(encoder=tiny_encoder_config(vocab_size=tok.vocab_size),
+                          ec_dim=8, bow_dim=16),
+        loss=LossConfig(regularizer=Regularizer.MMD),
+        data=DataConfig(max_len=16, language="zh"),
+        train=TrainConfig(donate=False))
+    model = DrlModel(cfg.model)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        ids, jnp.ones((2, 16), jnp.int32), ids)["params"]
+    scorer = PairScorer(cfg, model, params, tok, batch_size=4)
+    probs = scorer.score_texts([("他很难过", "天气变冷"), ("她笑了", "收到礼物"),
+                                ("她笑了", "天气变冷")])
+    assert probs.shape == (3,)
+    assert np.all((probs >= 0) & (probs <= 1))
+    # deterministic scorer is reproducible
+    probs2 = scorer.score_texts([("他很难过", "天气变冷"), ("她笑了", "收到礼物"),
+                                 ("她笑了", "天气变冷")])
+    np.testing.assert_allclose(probs, probs2, atol=1e-6)
+
+    hits = scorer.extract_document(
+        ["天气变冷", "他很难过", "收到礼物"], emotion_clause_ids=[2],
+        threshold=0.0)
+    assert len(hits) == 3
+    assert all(h[0] == 2 for h in hits)
+    # sorted by probability descending
+    assert hits[0][2] >= hits[-1][2]

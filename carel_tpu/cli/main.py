@@ -60,6 +60,10 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         data = dataclasses.replace(data, target_domain=args.target_domain)
     if args.max_len:
         data = dataclasses.replace(data, max_len=args.max_len)
+    if getattr(args, "train_file", ""):
+        data = dataclasses.replace(data, train_file=args.train_file)
+    if getattr(args, "test_file", ""):
+        data = dataclasses.replace(data, test_file=args.test_file)
     if args.regularizer:
         loss = dataclasses.replace(loss, regularizer=Regularizer(args.regularizer))
     if args.mmd_loss_weight is not None:
@@ -98,6 +102,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--language", default="")
     p.add_argument("--source_domain", default="")
     p.add_argument("--target_domain", default="")
+    p.add_argument("--train_file", default="",
+                   help="explicit train-corpus path (overrides conventions)")
+    p.add_argument("--test_file", default="")
     p.add_argument("--max_len", type=int, default=0)
     p.add_argument("--regularizer", default="",
                    choices=["", "none", "mmd", "hsic", "gan", "vi"])
@@ -140,6 +147,13 @@ def _setup_backend(args) -> None:
         jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # persistent compilation cache: repeat runs of the same preset skip the
+    # multi-minute first compile
+    cache = os.path.join(getattr(args, "cache_dir", ".carel_cache") or
+                         ".carel_cache", "xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def cmd_train(args) -> int:

@@ -146,6 +146,8 @@ class DataConfig:
     target_domain: str = "education"
     max_len: int = 128
     bow_file: str = ""  # resolved by presets / CLI
+    train_file: str = ""  # explicit override of the resolved train path
+    test_file: str = ""  # explicit override of the resolved test path
     bow_optimize: bool = True  # en token-level BoW (newsplit :35)
     predicted_emotion: bool = True  # newsplit test path logic :1212-1227
     data_root: str = ""  # root containing data/, domains/, pair_data/

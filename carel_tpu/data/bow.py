@@ -135,7 +135,10 @@ class BowVocab:
 def _sklearn_vocab(corpus: List[str], tokenizer=None) -> List[str]:
     from sklearn.feature_extraction.text import CountVectorizer
 
-    vec = CountVectorizer(tokenizer=tokenizer) if tokenizer else CountVectorizer()
+    # token_pattern=None silences the unused-pattern warning when a custom
+    # tokenizer is supplied
+    vec = (CountVectorizer(tokenizer=tokenizer, token_pattern=None)
+           if tokenizer else CountVectorizer())
     vec.fit_transform(corpus)
     # modern sklearn renamed get_feature_names -> get_feature_names_out
     return list(vec.get_feature_names_out())

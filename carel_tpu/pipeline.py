@@ -28,12 +28,18 @@ from carel_tpu.train.state import TrainState, create_train_state
 
 
 def resolve_paths(cfg: CarelConfig) -> Tuple[str, str, str]:
-    """(train_path, test_path, bow_path) per language/split flags."""
+    """(train_path, test_path, bow_path) per language/split flags; explicit
+    data.train_file / data.test_file override the convention."""
     d = cfg.data
     root = d.data_root
 
     def j(*parts):
         return os.path.join(root, *parts)
+
+    if d.train_file and d.test_file:
+        default_bow = ("data/all_data_pair_zh.txt" if d.language == "zh"
+                       else "data/all_data_pair_en.txt")
+        return (d.train_file, d.test_file, d.bow_file or j(default_bow))
 
     if d.language == "zh":
         train_dir = "data/ECPE_new_dataset" if d.newsplit else "domains/THUCTC_multiple"

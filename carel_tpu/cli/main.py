@@ -138,6 +138,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--ops_impl", default="xla", choices=["xla", "pallas"],
                    help="regularizer kernel implementation")
+    p.add_argument("--track_memorization", action="store_true",
+                   help="log per-iteration pseudo-positive churn (the "
+                        "memorization analysis variants)")
 
 
 def _setup_backend(args) -> None:
@@ -210,7 +213,16 @@ def cmd_train(args) -> int:
         state, sbest = self_train(
             cfg, state, train_step, eval_step, pipe.test_pairs,
             pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,
-            pipe.model_id, logger=logger, mesh=mesh)
+            pipe.model_id, logger=logger, mesh=mesh,
+            track_memorization=args.track_memorization)
+        if args.track_memorization and logger.path:
+            from carel_tpu.tools.memorization_plot import plot_memorization
+
+            png = plot_memorization(
+                logger.path, os.path.join(cfg.train.log_dir or ".",
+                                          "memorization.png"))
+            if png:
+                logger.log({"event": "memorization_plot", "path": png})
         logger.log({"event": "self_done", "p": sbest[0], "r": sbest[1],
                     "f1": sbest[2]})
     print(json.dumps({"model_id": pipe.model_id, "best_f1": best[2]}))
@@ -362,6 +374,44 @@ def cmd_pair(args) -> int:
         pcfg, enc, enc_arrays(train_pairs), enc_arrays(test_pairs),
         num_unpred, test_pairs, enc_arrays, logger)
     print(json.dumps({"p": best[0], "r": best[1], "f1": best[2]}))
+    return 0
+
+
+def cmd_case_analysis(args) -> int:
+    """Two-checkpoint comparison on the target test set split by self-chain
+    (mmd_wommd_case_analysis.py equivalent)."""
+    _setup_backend(args)
+    import jax
+
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.pipeline import build_pipeline, init_state, resolve_paths
+    from carel_tpu.tools.case_analysis import compare_checkpoints
+    from carel_tpu.train import checkpoint as ckpt
+    from carel_tpu.train.steps import make_eval_step
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    pipe = build_pipeline(cfg, cache_dir=args.cache_dir, encoder_cfg=enc,
+                          max_test_docs=args.max_test_docs)
+    cfg = pipe.cfg
+    state = init_state(pipe)
+    pa = ckpt.load_best(cfg.train.checkpoint_dir, args.model_id_a,
+                        state.params)
+    pb = ckpt.load_best(cfg.train.checkpoint_dir, args.model_id_b,
+                        state.params)
+    _, test_path, _ = resolve_paths(cfg)
+    docs = parse_ecpe_file(test_path)
+    if args.max_test_docs:
+        docs = docs[: args.max_test_docs]
+    ev = make_eval_step(cfg, pipe.model)
+    res = compare_checkpoints(ev, pa, pb, pipe.test_pairs, pipe.test_arrays,
+                              docs, args.out_csv, jax.random.key(0),
+                              cfg.train.eval_batch_size)
+    print(json.dumps({
+        "model_a_f1": res.model_a_f1, "model_b_f1": res.model_b_f1,
+        "csv": res.csv_path,
+        "self_chain": res.self_chain_counts, "normal": res.normal_counts,
+    }))
     return 0
 
 
@@ -531,6 +581,14 @@ def main(argv: Optional[list] = None) -> int:
     p_pair.add_argument("--self_chain", action="store_true",
                         help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
+
+    p_case = sub.add_parser("case_analysis",
+                            help="compare two checkpoints (mmd vs ablation)")
+    _add_common(p_case)
+    p_case.add_argument("--model_id_a", required=True)
+    p_case.add_argument("--model_id_b", required=True)
+    p_case.add_argument("--out_csv", default="wommd_mmd_fin.csv")
+    p_case.set_defaults(fn=cmd_case_analysis)
 
     p_hpo = sub.add_parser("hpo", help="hyperparameter search")
     _add_common(p_hpo)

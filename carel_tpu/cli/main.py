@@ -72,7 +72,10 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         model = dataclasses.replace(model, adapter=AdapterKind(args.adapter))
     if getattr(args, "hf_encoder", ""):
         model = dataclasses.replace(model, pretrained_encoder=args.hf_encoder)
-        data = dataclasses.replace(data, tokenizer=args.hf_encoder)
+        # an HF checkpoint dir also supplies the tokenizer; an orbax dir
+        # (carel_tpu.pretrain output) keeps the corpus-built tokenizer
+        if os.path.exists(os.path.join(args.hf_encoder, "config.json")):
+            data = dataclasses.replace(data, tokenizer=args.hf_encoder)
     if args.head_number:
         model = dataclasses.replace(model, head_number=args.head_number)
     kw = {}
@@ -377,6 +380,43 @@ def cmd_pair(args) -> int:
     return 0
 
 
+def cmd_pretrain(args) -> int:
+    """MLM pretraining (carel_tpu.pretrain): bootstraps an encoder in the
+    no-egress environment where the reference's hub downloads are impossible;
+    the result feeds train via --hf_encoder pointing at the orbax dir."""
+    _setup_backend(args)
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.pipeline import resolve_paths
+    from carel_tpu.pretrain import MlmConfig, pretrain_mlm, save_encoder
+    from carel_tpu.train.logging import JsonlLogger
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    _, _, bow_path = resolve_paths(cfg)
+    corpus_path = args.corpus or bow_path
+    docs = parse_ecpe_file(corpus_path)
+    texts = [c.text for d in docs for c in d.clauses]
+    if cfg.data.language == "zh":
+        texts = [t.strip().replace(" ", "") for t in texts]
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tok = build_tokenizer(
+        cfg.data.language, texts,
+        os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
+    logger = JsonlLogger(cfg.train.log_dir, "pretrain")
+    logger.log({"event": "pretrain_config", "corpus": corpus_path,
+                "clauses": len(texts), "vocab": tok.vocab_size,
+                "steps": args.steps})
+    mlm_cfg = MlmConfig(batch_size=args.mlm_batch, seq_len=args.seq_len,
+                        steps=args.steps, learning_rate=args.mlm_lr,
+                        seed=cfg.train.seed)
+    encoder_params = pretrain_mlm(enc, tok, texts, mlm_cfg, logger)
+    path = save_encoder(args.out, encoder_params)
+    print(json.dumps({"encoder_ckpt": path, "clauses": len(texts)}))
+    return 0
+
+
 def cmd_case_analysis(args) -> int:
     """Two-checkpoint comparison on the target test set split by self-chain
     (mmd_wommd_case_analysis.py equivalent)."""
@@ -581,6 +621,20 @@ def main(argv: Optional[list] = None) -> int:
     p_pair.add_argument("--self_chain", action="store_true",
                         help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
+
+    p_pre2 = sub.add_parser("pretrain",
+                            help="MLM-pretrain the encoder on a corpus")
+    _add_common(p_pre2)
+    p_pre2.add_argument("--corpus", default="",
+                        help="ECPE corpus path (default: the preset's bow "
+                             "corpus)")
+    p_pre2.add_argument("--out", required=True,
+                        help="orbax output dir for the encoder params")
+    p_pre2.add_argument("--steps", type=int, default=2000)
+    p_pre2.add_argument("--seq_len", type=int, default=64)
+    p_pre2.add_argument("--mlm_batch", type=int, default=256)
+    p_pre2.add_argument("--mlm_lr", type=float, default=1e-4)
+    p_pre2.set_defaults(fn=cmd_pretrain)
 
     p_case = sub.add_parser("case_analysis",
                             help="compare two checkpoints (mmd vs ablation)")

@@ -131,8 +131,11 @@ def build_pipeline(
     tokenizer = build_tokenizer(cfg.data.language, corpus, tok_cache, hf)
 
     # size the model to the data; a local HF checkpoint dictates the encoder
-    # config (and its tokenizer should be passed via data.tokenizer)
-    if cfg.model.pretrained_encoder:
+    # config (and its tokenizer should be passed via data.tokenizer). An
+    # orbax directory (from carel_tpu.pretrain) keeps the configured encoder
+    # shape and only supplies weights at init_state time.
+    if cfg.model.pretrained_encoder and os.path.exists(
+            os.path.join(cfg.model.pretrained_encoder, "config.json")):
         from carel_tpu.models.hf_port import encoder_config_from_hf
 
         enc = encoder_config_from_hf(cfg.model.pretrained_encoder,
@@ -174,10 +177,17 @@ def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True
         {"params": p_rng, "sample": s_rng}, *dummy)
     params = variables["params"]
     if cfg.model.pretrained_encoder:
-        from carel_tpu.models.hf_port import port_hf_encoder
-
         params = dict(params)
-        params["encoder"] = port_hf_encoder(cfg.model.pretrained_encoder,
-                                            cfg.model.encoder)
+        if os.path.exists(os.path.join(cfg.model.pretrained_encoder,
+                                       "config.json")):
+            from carel_tpu.models.hf_port import port_hf_encoder
+
+            params["encoder"] = port_hf_encoder(
+                cfg.model.pretrained_encoder, cfg.model.encoder)
+        else:  # orbax dir from carel_tpu.pretrain
+            from carel_tpu.pretrain import load_encoder
+
+            params["encoder"] = load_encoder(
+                cfg.model.pretrained_encoder, params["encoder"])
     return create_train_state(cfg, params, state_rng,
                               compat_frozen_latent_heads)

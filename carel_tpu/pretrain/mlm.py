@@ -1,0 +1,153 @@
+"""Masked-language-model pretraining for the encoder.
+
+The reference's results depend on downloaded pretrained encoders
+(`hfl/chinese-roberta-wwm-ext` / `roberta-base`, flagship :63-71); the TPU
+environment has no network egress, so this module bootstraps an encoder
+in-framework: BERT-recipe MLM (15% positions; 80% [MASK] / 10% random /
+10% kept) over the ECPE corpora, with a tied-embedding output head, linear
+warmup, and bf16 MXU matmuls. Pretrained encoder params are saved with orbax
+and plug into the task pipeline via ModelConfig.pretrained_encoder (orbax
+directories are detected alongside HF checkpoint directories).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from carel_tpu.config import EncoderConfig
+from carel_tpu.models.encoder import TransformerEncoder
+
+
+class MlmModel(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        encoder = TransformerEncoder(self.cfg, name="encoder")
+        hidden, _ = encoder(input_ids, attention_mask, None,
+                            deterministic=deterministic)
+        h = hidden.astype(jnp.float32)
+        h = nn.Dense(self.cfg.hidden_dim, name="mlm_transform")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(name="mlm_ln")(h)
+        # untied output projection (the head is discarded after pretraining,
+        # so weight tying buys nothing here)
+        return nn.Dense(self.cfg.vocab_size, name="mlm_output")(h)
+
+
+@dataclass(frozen=True)
+class MlmConfig:
+    batch_size: int = 256
+    seq_len: int = 64
+    steps: int = 2000
+    warmup_steps: int = 200
+    learning_rate: float = 1e-4
+    mask_prob: float = 0.15
+    seed: int = 42
+
+
+def make_mlm_batches(
+    texts: Sequence[str],
+    tokenizer,
+    cfg: MlmConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize the corpus once into [N, L] ids + masks."""
+    enc = tokenizer.encode_batch(list(texts), cfg.seq_len)
+    return enc.input_ids, enc.attention_mask
+
+
+def pretrain_mlm(
+    encoder_cfg: EncoderConfig,
+    tokenizer,
+    texts: Sequence[str],
+    cfg: MlmConfig = MlmConfig(),
+    logger=None,
+    init_params=None,
+) -> dict:
+    """Run MLM pretraining; returns the ENCODER param subtree."""
+    # the tied head needs a mask token; char/wordpiece tokenizers reserve
+    # [MASK] = id 4 (ZhCharTokenizer.SPECIALS / WordPiece special_tokens)
+    mask_id = getattr(tokenizer, "token_to_id", {}).get("[MASK]", 4) \
+        if hasattr(tokenizer, "token_to_id") else 4
+
+    model = MlmModel(encoder_cfg)
+    ids_all, mask_all = make_mlm_batches(texts, tokenizer, cfg)
+    n = len(ids_all)
+
+    rng = jax.random.key(cfg.seed)
+    p_rng, rng = jax.random.split(rng)
+    params = model.init(
+        {"params": p_rng},
+        jnp.asarray(ids_all[:2]), jnp.asarray(mask_all[:2]))["params"]
+    if init_params is not None:
+        params = dict(params)
+        params["encoder"] = init_params
+
+    schedule = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    tx = optax.adamw(schedule, weight_decay=0.01, eps=1e-8)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, attn, rng):
+        m_rng, r_rng, c_rng = jax.random.split(rng, 3)
+        # BERT masking recipe over real non-special positions
+        special = (ids <= 4)
+        candidates = (attn > 0) & (~special)
+        u = jax.random.uniform(m_rng, ids.shape)
+        is_masked = (u < cfg.mask_prob) & candidates
+        u2 = jax.random.uniform(c_rng, ids.shape)
+        replace_mask = is_masked & (u2 < 0.8)
+        replace_rand = is_masked & (u2 >= 0.8) & (u2 < 0.9)
+        rand_ids = jax.random.randint(r_rng, ids.shape, 5,
+                                      encoder_cfg.vocab_size)
+        corrupted = jnp.where(replace_mask, mask_id,
+                              jnp.where(replace_rand, rand_ids, ids))
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, corrupted, attn,
+                                 deterministic=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+            w = is_masked.astype(jnp.float32)
+            return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    data_rng = np.random.default_rng(cfg.seed)
+    for it in range(cfg.steps):
+        idx = data_rng.integers(0, n, cfg.batch_size)
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(ids_all[idx]),
+            jnp.asarray(mask_all[idx]), sub)
+        if logger and it % 100 == 99:
+            logger.log({"event": "mlm_step", "step": it + 1,
+                        "loss": float(loss)})
+    return params["encoder"]
+
+
+def save_encoder(path: str, encoder_params) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, encoder_params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_encoder(path: str, like) -> dict:
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)

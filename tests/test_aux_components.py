@@ -257,3 +257,25 @@ def test_pair_scorer_serving_api():
     assert all(h[0] == 2 for h in hits)
     # sorted by probability descending
     assert hits[0][2] >= hits[-1][2]
+
+
+def test_mlm_pretrain_smoke(tmp_path):
+    from carel_tpu.pretrain import (
+        MlmConfig,
+        load_encoder,
+        pretrain_mlm,
+        save_encoder,
+    )
+
+    tok = ZhCharTokenizer.from_corpus(["他很难过因为天气变冷她笑了收到礼物"])
+    enc = tiny_encoder_config(vocab_size=tok.vocab_size, type_vocab_size=0)
+    texts = ["他很难过", "因为天气变冷", "她笑了", "收到礼物"] * 8
+    cfg = MlmConfig(batch_size=8, seq_len=12, steps=6, warmup_steps=2,
+                    learning_rate=1e-3)
+    params = pretrain_mlm(enc, tok, texts, cfg)
+    assert "layer_0" in params and "word_embeddings" in params
+    path = save_encoder(str(tmp_path / "enc"), params)
+    restored = load_encoder(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(restored["word_embeddings"]["embedding"]),
+        np.asarray(params["word_embeddings"]["embedding"]))

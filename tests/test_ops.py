@@ -189,3 +189,22 @@ def test_densify_and_recon_loss():
     m = jnp.asarray([1.0, 0.0])
     loss_m = bow_reconstruction_loss(logits, idx, w, 0.1, m)
     np.testing.assert_allclose(float(loss_m), bce[0].mean(), rtol=1e-5)
+
+
+def test_mmd_permutation_test():
+    from carel_tpu.ops.pairwise import mmd_permutation_test
+
+    rng = np.random.default_rng(11)
+    # same distribution -> high p-value; shifted -> tiny p-value
+    x = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    y_same = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    y_diff = jnp.asarray(rng.normal(loc=2.0, size=(24, 8)).astype(np.float32))
+    m1, p1 = mmd_permutation_test(x, y_same, (0.1,), 200, jax.random.key(0))
+    m2, p2 = mmd_permutation_test(x, y_diff, (0.1,), 200, jax.random.key(0))
+    assert float(p1) > 0.05
+    assert float(p2) < 0.05
+    assert float(m2) > float(m1)
+    # observed statistic matches mmd_statistic exactly
+    np.testing.assert_allclose(float(m1),
+                               float(mmd_statistic(x, y_same, (0.1,))),
+                               rtol=1e-5, atol=1e-7)

@@ -200,3 +200,38 @@ def test_tensor_parallel_step_on_mesh():
     state_1, m_1 = make_train_step(cfg, model)(state, batch, 0, 0.0)
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
                                rtol=1e-4)
+
+
+def test_prefetch_to_device():
+    from carel_tpu.data.batching import iter_batches
+    from carel_tpu.data.prefetch import prefetch_to_device
+
+    # synthetic arrays through the real batch iterator
+    from carel_tpu.data.batching import PairArrays
+
+    n = 20
+    arrs = PairArrays(
+        input_ids=np.arange(n * 4, dtype=np.int32).reshape(n, 4),
+        attention_mask=np.ones((n, 4), np.int32),
+        token_type_ids=np.zeros((n, 4), np.int32),
+        pair_labels=np.arange(n, dtype=np.float32),
+        emotion_labels=np.zeros(n, np.int32),
+        temporal_order=np.zeros(n, bool),
+        bow_indices=np.zeros((n, 2), np.int32),
+        bow_weights=np.zeros((n, 2), np.float32),
+    )
+    it = iter_batches(arrs, 8, shuffle=False)
+    out = list(prefetch_to_device(it, size=2, transform=lambda b: b.as_dict()))
+    assert len(out) == 3
+    assert isinstance(out[0]["input_ids"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(out[0]["pair_labels"][:8]),
+                                  np.arange(8, dtype=np.float32))
+    # error propagation
+    def bad():
+        yield arrs
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(bad(), transform=lambda b: b.input_ids))

@@ -130,6 +130,10 @@ def pretrain_mlm(
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(ids_all[idx]),
             jnp.asarray(mask_all[idx]), sub)
+        if it % 50 == 49:
+            # bound the async dispatch queue (an unbounded queue can wedge
+            # the remote-TPU relay)
+            jax.block_until_ready(loss)
         if logger and it % 100 == 99:
             logger.log({"event": "mlm_step", "step": it + 1,
                         "loss": float(loss)})

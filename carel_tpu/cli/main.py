@@ -92,6 +92,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["debug_nans"] = True
     if args.profile_dir:
         kw["profile_dir"] = args.profile_dir
+    if getattr(args, "save_state_every", 0):
+        kw["save_state_every"] = args.save_state_every
     if kw:
         train = dataclasses.replace(train, **kw)
     return dataclasses.replace(cfg, data=data, loss=loss, model=model,
@@ -141,6 +143,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--ops_impl", default="xla", choices=["xla", "pallas"],
                    help="regularizer kernel implementation")
+    p.add_argument("--save_state_every", type=int, default=0,
+                   help="full resumable-state snapshot cadence (epochs)")
+    p.add_argument("--resume", default="",
+                   help="model_id whose state snapshot to resume from")
     p.add_argument("--track_memorization", action="store_true",
                    help="log per-iteration pseudo-positive churn (the "
                         "memorization analysis variants)")
@@ -194,6 +200,12 @@ def cmd_train(args) -> int:
         mesh = make_mesh(cfg.train.num_devices, axes=("data",))
 
     state = init_state(pipe)
+    if args.resume:
+        from carel_tpu.train import checkpoint as _ckpt
+
+        state = _ckpt.load_state(cfg.train.checkpoint_dir, args.resume, state)
+        logger.log({"event": "resumed", "from": args.resume,
+                    "step": int(state.step)})
     train_step = make_train_step(cfg, pipe.model, ops_impl=args.ops_impl)
     eval_step = make_eval_step(cfg, pipe.model)
 

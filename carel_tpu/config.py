@@ -174,6 +174,9 @@ class TrainConfig:
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
+    # full-state snapshot cadence in epochs (0 = only best-F1 params);
+    # snapshots restore (params, all optimizer states, step, PRNG) exactly
+    save_state_every: int = 0
     log_dir: str = "result_logs"
     debug_nans: bool = False  # ~ torch.autograd.set_detect_anomaly (flagship :837)
     profile_dir: str = ""  # jax.profiler trace output when set

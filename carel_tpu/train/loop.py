@@ -143,6 +143,12 @@ def train_epochs(
             saved_any = True
             logger.log({"event": "best", "epoch": epoch, "f1": res.f1})
 
+        if (cfg.train.save_state_every
+                and epoch % cfg.train.save_state_every == 0):
+            ckpt.save_state(cfg.train.checkpoint_dir, model_id, state)
+            logger.log({"event": "state_snapshot", "epoch": epoch,
+                        "step": int(state.step)})
+
     if saved_any:
         best_params = ckpt.load_best(cfg.train.checkpoint_dir, model_id,
                                      state.params)

@@ -13,7 +13,7 @@ the native tokenizer fast path keeps a single host core ahead of the chip.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import numpy as np

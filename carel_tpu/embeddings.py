@@ -14,7 +14,7 @@ end-to-end.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,3 +202,21 @@ def load_clause_keywords(
             else:
                 stat["cau_none"].append(clause)
     return s_stat, t_stat
+
+
+def save_embeddings(path: str, embeddings: np.ndarray,
+                    labels: Optional[np.ndarray] = None) -> str:
+    """Cache embeddings (+ optional labels) as .npz — the ECPE_dataset_v1.py
+    precomputed-split pattern."""
+    if labels is None:
+        np.savez(path, embeddings=np.asarray(embeddings))
+    else:
+        np.savez(path, embeddings=np.asarray(embeddings),
+                 labels=np.asarray(labels))
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_embeddings(path: str):
+    """(embeddings, labels-or-None) from a save_embeddings .npz."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    return data["embeddings"], (data["labels"] if "labels" in data else None)

@@ -1,0 +1,63 @@
+"""In-process CLI tests for the fast (CPU, host-only) subcommands."""
+
+import json
+import os
+
+import pytest
+
+from carel_tpu.cli.main import main
+from tests.conftest import REFERENCE_ROOT, requires_reference_data
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_presets_lists_all(capsys):
+    rc, out = run_cli(capsys, ["presets"])
+    assert rc == 0
+    for name in ["ec_mmd_final_mul_newsplit_emnlp", "ec_gan", "ec_vi_final",
+                 "ec_hsic", "ec_none", "drl_en", "en_newsplit"]:
+        assert name in out
+
+
+@requires_reference_data
+def test_ordering_cli(capsys):
+    rc, out = run_cli(capsys, [
+        "ordering", "--file",
+        os.path.join(REFERENCE_ROOT, "data/ECPE_new_dataset/lottery.txt")])
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["total_pairs"] > 0
+    assert 0 <= stats["temporal_order_rate"] <= 1
+
+
+@requires_reference_data
+def test_convert_cli(capsys, tmp_path):
+    out_path = str(tmp_path / "t.txt")
+    rc, out = run_cli(capsys, [
+        "convert", "train_to_test",
+        "--source", os.path.join(REFERENCE_ROOT,
+                                 "data/ECPE_new_dataset/lottery.txt"),
+        "--target", out_path])
+    assert rc == 0
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+
+    docs = parse_ecpe_file(out_path)
+    assert all(c.cause == -1 for c in docs[0].clauses)
+
+
+def test_embeddings_npz_roundtrip(tmp_path):
+    import numpy as np
+
+    from carel_tpu.embeddings import load_embeddings, save_embeddings
+
+    emb = np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32)
+    labels = np.arange(5)
+    path = str(tmp_path / "cache")
+    save_embeddings(path, emb, labels)
+    e2, l2 = load_embeddings(path)
+    np.testing.assert_array_equal(e2, emb)
+    np.testing.assert_array_equal(l2, labels)

@@ -282,3 +282,20 @@ def test_checkpoint_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(restored.rng)),
         np.asarray(jax.random.key_data(state.rng)))
+
+
+def test_step_timer_and_trace(tmp_path):
+    import time
+
+    from carel_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer(window=3)
+    for _ in range(5):
+        with t:
+            time.sleep(0.001)
+    s = t.summary()
+    assert s["steps"] == 3  # window bound
+    assert s["p50_ms"] >= 1.0
+    # no-op trace context
+    with trace(""):
+        pass

@@ -235,3 +235,42 @@ def test_prefetch_to_device():
 
     with _pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad(), transform=lambda b: b.input_ids))
+
+
+def test_flagship_loss_composition():
+    """The total is exactly 30*(-MMD) + 10*emo + 10*cau + 30*pair + KLe + KLc
+    + recon (flagship :256-261) — guards the loss formula against edits."""
+    from carel_tpu.losses.classify import (
+        cause_bce_loss, emotion_ce_loss, pair_bce_pos_weighted)
+    from carel_tpu.losses.vae import (
+        annealed_kl_weight, kl_loss, reconstruction_loss)
+    from carel_tpu.ops.pairwise import mmd_statistic
+    from carel_tpu.train.steps import vae_and_classifier_loss
+
+    cfg = tiny_cfg(Regularizer.MMD)
+    model, state = make_state(cfg)
+    batch = synth_batch(np.random.default_rng(13))
+    out = model.apply({"params": state.params}, batch["input_ids"],
+                      batch["attention_mask"], batch["token_type_ids"],
+                      deterministic=True,
+                      rngs={"sample": jax.random.key(5)})
+    total, metrics = vae_and_classifier_loss(cfg, out, batch, iteration=3)
+
+    lc = cfg.loss
+    m = batch["example_mask"]
+    ann = annealed_kl_weight(3, lc.kl_ann_iterations, lc.ec_kl_lambda)
+    expected = (
+        lc.mmd_loss_weight * (-mmd_statistic(out["z_emotion"], out["z_cause"],
+                                             lc.mmd_alphas, mask=m))
+        + lc.emo_mul_loss_weight * emotion_ce_loss(
+            out["emotion_logits"], batch["emotion_labels"], m)
+        + lc.cau_mul_loss_weight * cause_bce_loss(
+            out["cause_logits"], batch["pair_labels"], lc.label_smoothing, m)
+        + lc.pair_mul_loss_weight * pair_bce_pos_weighted(
+            out["pair_logits"], batch["pair_labels"], lc.label_smoothing, m)
+        + ann * kl_loss(out["emotion_mu"], out["emotion_log_var"], m)
+        + ann * kl_loss(out["cause_mu"], out["cause_log_var"], m)
+        + reconstruction_loss(out["recon_logits"], batch["bow_indices"],
+                              batch["bow_weights"], lc.label_smoothing, m)
+    )
+    np.testing.assert_allclose(float(total), float(expected), rtol=1e-6)

@@ -405,9 +405,11 @@ def cmd_pretrain(args) -> int:
 
     cfg = _apply_overrides(PRESETS[args.preset], args)
     _, _, bow_path = resolve_paths(cfg)
-    corpus_path = args.corpus or bow_path
-    docs = parse_ecpe_file(corpus_path)
-    texts = [c.text for d in docs for c in d.clauses]
+    corpus_paths = list(args.corpus) if args.corpus else [bow_path]
+    texts = []
+    for cp in corpus_paths:
+        for d in parse_ecpe_file(cp):
+            texts.extend(c.text for c in d.clauses)
     if cfg.data.language == "zh":
         texts = [t.strip().replace(" ", "") for t in texts]
     os.makedirs(args.cache_dir, exist_ok=True)
@@ -417,12 +419,12 @@ def cmd_pretrain(args) -> int:
     enc = _encoder_preset(args.encoder, cfg.data.language)
     enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     logger = JsonlLogger(cfg.train.log_dir, "pretrain")
-    logger.log({"event": "pretrain_config", "corpus": corpus_path,
+    logger.log({"event": "pretrain_config", "corpus": corpus_paths,
                 "clauses": len(texts), "vocab": tok.vocab_size,
                 "steps": args.steps})
     mlm_cfg = MlmConfig(batch_size=args.mlm_batch, seq_len=args.seq_len,
                         steps=args.steps, learning_rate=args.mlm_lr,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed, scan_size=args.scan_size)
     encoder_params = pretrain_mlm(enc, tok, texts, mlm_cfg, logger)
     path = save_encoder(args.out, encoder_params)
     print(json.dumps({"encoder_ckpt": path, "clauses": len(texts)}))
@@ -637,9 +639,10 @@ def main(argv: Optional[list] = None) -> int:
     p_pre2 = sub.add_parser("pretrain",
                             help="MLM-pretrain the encoder on a corpus")
     _add_common(p_pre2)
-    p_pre2.add_argument("--corpus", default="",
-                        help="ECPE corpus path (default: the preset's bow "
+    p_pre2.add_argument("--corpus", default="", nargs="*",
+                        help="ECPE corpus paths (default: the preset's bow "
                              "corpus)")
+    p_pre2.add_argument("--scan_size", type=int, default=50)
     p_pre2.add_argument("--out", required=True,
                         help="orbax output dir for the encoder params")
     p_pre2.add_argument("--steps", type=int, default=2000)

@@ -52,6 +52,10 @@ class MlmConfig:
     learning_rate: float = 1e-4
     mask_prob: float = 0.15
     seed: int = 42
+    # steps fused into one dispatch via lax.scan with the tokenized corpus
+    # resident on device — the naive one-dispatch-per-step loop is host-
+    # latency-bound through the TPU tunnel (~9 steps/s vs the chip's ~100/s)
+    scan_size: int = 50
 
 
 def make_mlm_batches(
@@ -95,9 +99,18 @@ def pretrain_mlm(
     tx = optax.adamw(schedule, weight_decay=0.01, eps=1e-8)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, ids, attn, rng):
-        m_rng, r_rng, c_rng = jax.random.split(rng, 3)
+    # the whole tokenized corpus lives on device; minibatches are gathered
+    # in-kernel so one dispatch covers scan_size optimizer steps
+    ids_dev = jnp.asarray(ids_all)
+    mask_dev = jnp.asarray(mask_all)
+
+    def one_step(carry, _):
+        params, opt_state, rng = carry
+        rng, b_rng, m_rng, r_rng, c_rng = jax.random.split(rng, 5)
+        idx = jax.random.randint(b_rng, (cfg.batch_size,), 0, n)
+        ids = jnp.take(ids_dev, idx, axis=0)
+        attn = jnp.take(mask_dev, idx, axis=0)
+
         # BERT masking recipe over real non-special positions
         special = (ids <= 4)
         candidates = (attn > 0) & (~special)
@@ -121,22 +134,24 @@ def pretrain_mlm(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state, rng), loss
 
-    data_rng = np.random.default_rng(cfg.seed)
-    for it in range(cfg.steps):
-        idx = data_rng.integers(0, n, cfg.batch_size)
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(ids_all[idx]),
-            jnp.asarray(mask_all[idx]), sub)
-        if it % 50 == 49:
-            # bound the async dispatch queue (an unbounded queue can wedge
-            # the remote-TPU relay)
-            jax.block_until_ready(loss)
-        if logger and it % 100 == 99:
-            logger.log({"event": "mlm_step", "step": it + 1,
-                        "loss": float(loss)})
+    scan_size = max(1, min(cfg.scan_size, cfg.steps))
+
+    @jax.jit
+    def multi_step(params, opt_state, rng):
+        (params, opt_state, rng), losses = jax.lax.scan(
+            one_step, (params, opt_state, rng), None, length=scan_size)
+        return params, opt_state, rng, losses.mean()
+
+    done = 0
+    while done < cfg.steps:
+        params, opt_state, rng, mean_loss = multi_step(params, opt_state, rng)
+        jax.block_until_ready(mean_loss)
+        done += scan_size
+        if logger:
+            logger.log({"event": "mlm_step", "step": done,
+                        "loss": float(mean_loss)})
     return params["encoder"]
 
 

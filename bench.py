@@ -1,25 +1,28 @@
 """Benchmark: flagship train-step throughput on the local accelerator.
 
 Measures ECPE pairs/sec/chip for the full CAREL-VAE training step (bert-base
-encoder in bf16 with the Pallas flash-attention kernel, VAE heads, MMD
-regularizer, pos-weighted pair BCE, BoW reconstruction over a 23.8k vocab) at
-seq 128, batch 512 — the TPU-native operating point (the chip is dispatch-
-bound at the reference's batch 64; measured 2026-08: 64 -> ~9.5k pairs/s,
-512 -> ~168k pairs/s on one v5e chip). Tracked metric per BASELINE.md:
+encoder in bf16, VAE heads, MMD regularizer, pos-weighted pair BCE, BoW
+reconstruction over a 23.8k vocab) at seq 128. Tracked metric per BASELINE.md:
 "ECPE docs/sec/chip (train)".
+
+TIMING METHODOLOGY (important): on the axon remote-TPU backend,
+jax.block_until_ready returns before device execution completes (verified: a
+known 1.1-TFLOP matmul "measures" >10 PFLOP/s with block_until_ready). The
+only trustworthy synchronization is fetching a VALUE computed by the step
+(device->host transfer of the final loss), which forces the whole dependency
+chain. This bench times N chained steps ending in a float() fetch, and
+reports the best of 3 rounds (transient tunnel contention can halve a round).
 
 vs_baseline: the reference (PyTorch BERT-base fwd+bwd, batch 64, seq 128,
 single A100, anomaly detection ON — job_group_devin.sh:3-11, flagship :837)
 has no published throughput; 800 pairs/s is our recorded envelope estimate
-for that setup (BASELINE.md notes the build must measure its own reference
-baseline; revisit when a torch/GPU rerun is possible).
+for that setup (BASELINE.md: the build must measure its own baseline).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import dataclasses
 import json
-import sys
 import time
 
 import jax
@@ -65,26 +68,24 @@ def main() -> None:
     state = create_train_state(cfg, variables["params"], jax.random.key(2))
     step = make_train_step(cfg, model)
 
-    # warmup / compile
-    for i in range(3):
+    # warmup / compile; float() forces real completion on this backend
+    for i in range(2):
         state, metrics = step(state, batch, i, 0.0)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
-    # best of 3 rounds: transient host/tunnel contention can halve a single
-    # measurement; the max round reflects uncontended capability
-    n_steps = 20
+    n_steps = 10
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, metrics = step(state, batch, i, 0.0)
-        jax.block_until_ready(metrics["loss"])
+        _ = float(metrics["loss"])  # value fetch = true synchronization
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     pairs_per_sec = n_steps * B / best_dt
     print(json.dumps({
         "metric": ("ECPE train pairs/sec/chip (flagship MMD step, bf16, "
-                   f"flash attention, b{B}xs{L})"),
+                   f"flash attention, b{B}xs{L}, value-fetch timed)"),
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),

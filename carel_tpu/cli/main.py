@@ -94,6 +94,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["profile_dir"] = args.profile_dir
     if getattr(args, "save_state_every", 0):
         kw["save_state_every"] = args.save_state_every
+    if getattr(args, "scan_epoch", False):
+        kw["scan_epoch"] = True
     if kw:
         train = dataclasses.replace(train, **kw)
     return dataclasses.replace(cfg, data=data, loss=loss, model=model,
@@ -143,6 +145,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--ops_impl", default="xla", choices=["xla", "pallas"],
                    help="regularizer kernel implementation")
+    p.add_argument("--scan_epoch", action="store_true",
+                   help="run each epoch as one device dispatch (lax.scan)")
     p.add_argument("--save_state_every", type=int, default=0,
                    help="full resumable-state snapshot cadence (epochs)")
     p.add_argument("--resume", default="",
@@ -206,7 +210,12 @@ def cmd_train(args) -> int:
         state = _ckpt.load_state(cfg.train.checkpoint_dir, args.resume, state)
         logger.log({"event": "resumed", "from": args.resume,
                     "step": int(state.step)})
-    train_step = make_train_step(cfg, pipe.model, ops_impl=args.ops_impl)
+    if cfg.train.scan_epoch:
+        from carel_tpu.train.scan_epoch import make_epoch_step
+
+        train_step = make_epoch_step(cfg, pipe.model, ops_impl=args.ops_impl)
+    else:
+        train_step = make_train_step(cfg, pipe.model, ops_impl=args.ops_impl)
     eval_step = make_eval_step(cfg, pipe.model)
 
     if cfg.train.profile_dir:

@@ -181,6 +181,10 @@ class TrainConfig:
     debug_nans: bool = False  # ~ torch.autograd.set_detect_anomaly (flagship :837)
     profile_dir: str = ""  # jax.profiler trace output when set
     donate: bool = True
+    # run each training epoch as ONE device dispatch (lax.scan over the
+    # stacked epoch) — eliminates per-step host round trips, which dominate
+    # on remotely-attached chips with small datasets
+    scan_epoch: bool = False
     # parallelism
     num_devices: int = 0  # 0 = all available
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel

@@ -108,23 +108,35 @@ def train_epochs(
         n_batches = 0
         # vi beta ramp: (epoch-1)*0.1 capped at 1 (vi_final :772-777)
         vi_beta = min((epoch_offset + epoch - 1) * cfg.loss.vi_beta_step, 1.0)
-        from carel_tpu.data.prefetch import prefetch_to_device
-        from carel_tpu.parallel.sharding import batch_sharding
+        if getattr(train_step, "is_epoch_step", False):
+            from carel_tpu.train.scan_epoch import stack_epoch
 
-        sharding = batch_sharding(mesh) if mesh is not None else None
-        batches = prefetch_to_device(
-            iter_batches(train_arrays, cfg.train.batch_size, shuffle=True,
-                         rng=data_rng),
-            size=2, transform=lambda b: b.as_dict(), sharding=sharding)
-        for it, batch in enumerate(batches):
-            state, metrics = train_step(state, batch, it, vi_beta)
-            running += float(metrics["loss"])
-            n_batches += 1
-            examples_seen += int(batch["example_mask"].sum())
-            if it % 10 == 9:
-                logger.log({"event": "train", "epoch": epoch, "it": it + 1,
-                            "loss": running / 10})
-                running = 0.0
+            stacked = stack_epoch(train_arrays, cfg.train.batch_size,
+                                  rng=data_rng)
+            state, losses = train_step(state, stacked, vi_beta)
+            losses = np.asarray(losses)  # value fetch = true sync
+            n_batches = len(losses)
+            examples_seen += len(train_arrays)
+            logger.log({"event": "train", "epoch": epoch,
+                        "it": n_batches, "loss": float(losses.mean())})
+        else:
+            from carel_tpu.data.prefetch import prefetch_to_device
+            from carel_tpu.parallel.sharding import batch_sharding
+
+            sharding = batch_sharding(mesh) if mesh is not None else None
+            batches = prefetch_to_device(
+                iter_batches(train_arrays, cfg.train.batch_size, shuffle=True,
+                             rng=data_rng),
+                size=2, transform=lambda b: b.as_dict(), sharding=sharding)
+            for it, batch in enumerate(batches):
+                state, metrics = train_step(state, batch, it, vi_beta)
+                running += float(metrics["loss"])
+                n_batches += 1
+                examples_seen += int(batch["example_mask"].sum())
+                if it % 10 == 9:
+                    logger.log({"event": "train", "epoch": epoch,
+                                "it": it + 1, "loss": running / 10})
+                    running = 0.0
 
         eval_rng, sub = jax.random.split(eval_rng)
         res = evaluate(eval_step, state.params, test_arrays,

@@ -1,0 +1,113 @@
+"""Whole-epoch training in a single device dispatch.
+
+The ECPE datasets are small (a few dozen fixed-shape batches per epoch), so
+per-step host round trips dominate wall time on a remote-attached TPU
+(measured: ~130 ms/step at b64 of which the device step is a fraction). This
+module stacks the epoch's batches into device-resident [num_batches, ...]
+arrays and lax.scans the train step over them — one dispatch per epoch, with
+the per-batch losses returned as an array.
+
+Semantics match the per-step loop exactly: the same train-step body runs per
+slice, `iteration` is the within-epoch batch index (the reference's KL
+annealing counter), and the tail batch stays masked.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carel_tpu.config import CarelConfig, Regularizer
+from carel_tpu.data.batching import PairArrays, cut_batch
+from carel_tpu.losses.registry import club_aprx_loss, gan_disc_losses
+from carel_tpu.models.drl import DrlModel
+from carel_tpu.train.steps import vae_and_classifier_loss
+
+
+def stack_epoch(
+    arrays: PairArrays,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+) -> dict:
+    """Shuffle and stack the dataset into [nb, B, ...] numpy arrays."""
+    n = len(arrays)
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    nb = -(-n // batch_size)
+    batches = [cut_batch(arrays, order[i * batch_size:(i + 1) * batch_size],
+                         batch_size).as_dict() for i in range(nb)]
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def make_epoch_step(cfg: CarelConfig, model: DrlModel,
+                    ops_impl: str = "xla") -> Callable:
+    """jitted (state, stacked_batches, vi_beta) -> (state, losses[nb]).
+
+    Covers the single-grad regularizers (none/mmd/hsic) and gan; the VI
+    variant's two-phase update also works (both phases run per scan slice).
+    """
+    reg = cfg.loss.regularizer
+    fused_bow = ops_impl == "pallas"
+
+    def forward(params, batch, rng):
+        sample_rng, dropout_rng = jax.random.split(rng)
+        return model.apply(
+            {"params": params},
+            batch["input_ids"], batch["attention_mask"],
+            batch["token_type_ids"], deterministic=False,
+            compute_recon=not fused_bow,
+            rngs={"sample": sample_rng, "dropout": dropout_rng})
+
+    def _dec(params):
+        return params["heads"]["decoder"] if fused_bow else None
+
+    def one_batch(carry, inp):
+        state, vi_beta = carry
+        batch, iteration = inp
+        rng, fwd_rng, reg_rng = jax.random.split(state.rng, 3)
+
+        if reg == Regularizer.VI:
+            def aprx_loss_fn(params):
+                out = forward(params, batch, fwd_rng)
+                return club_aprx_loss(out, batch["example_mask"])
+
+            state = state.apply_club(jax.grad(aprx_loss_fn)(state.params))
+
+        def loss_fn(params):
+            out = forward(params, batch, fwd_rng)
+            total, metrics = vae_and_classifier_loss(
+                cfg, out, batch, iteration, reg_rng=reg_rng,
+                vi_beta=vi_beta, ops_impl=ops_impl,
+                decoder_params=_dec(params))
+            if reg == Regularizer.GAN:
+                ec_bce, ce_bce = gan_disc_losses(
+                    out, cfg.loss, jnp.ones_like(batch["pair_labels"]),
+                    batch["pair_labels"], batch["example_mask"])
+                total = total + ec_bce + ce_bce
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_main(grads, with_disc=(reg == Regularizer.GAN))
+        return (state.replace(rng=rng), vi_beta), loss
+
+    def epoch_step(state, stacked, vi_beta):
+        nb = stacked["input_ids"].shape[0]
+        iterations = jnp.arange(nb)
+        (state, _), losses = jax.lax.scan(
+            one_batch, (state, jnp.asarray(vi_beta, jnp.float32)),
+            (stacked, iterations))
+        return state, losses
+
+    jitted = jax.jit(epoch_step,
+                     donate_argnums=(0,) if cfg.train.donate else ())
+
+    def wrapper(state, stacked, vi_beta):
+        return jitted(state, stacked, vi_beta)
+
+    wrapper.is_epoch_step = True
+    return wrapper

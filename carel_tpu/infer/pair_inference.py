@@ -59,9 +59,11 @@ def score_pairs(
             d = shard_batch(mesh, d)
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
-        p = jax.block_until_ready(eval_step(params, d, sub))
+        # np.asarray (a value fetch) is the only true synchronization on the
+        # axon remote backend — block_until_ready returns early there
+        p = np.asarray(eval_step(params, d, sub))
         times.append(time.perf_counter() - t0)
-        probs[idx] = np.asarray(p)[: len(idx)]
+        probs[idx] = p[: len(idx)]
     return probs, np.asarray(times)
 
 

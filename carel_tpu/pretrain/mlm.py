@@ -147,11 +147,13 @@ def pretrain_mlm(
     done = 0
     while done < cfg.steps:
         params, opt_state, rng, mean_loss = multi_step(params, opt_state, rng)
-        jax.block_until_ready(mean_loss)
+        # float() is a value fetch — the only true synchronization on the
+        # axon remote backend (block_until_ready returns early there)
+        loss_val = float(mean_loss)
         done += scan_size
         if logger:
             logger.log({"event": "mlm_step", "step": done,
-                        "loss": float(mean_loss)})
+                        "loss": loss_val})
     return params["encoder"]
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 800.0
-BENCH_BATCH = 512
+BENCH_BATCH = 64
 
 
 def main() -> None:
@@ -40,12 +40,12 @@ def main() -> None:
     from carel_tpu.train.steps import make_train_step
 
     cfg = _flagship_cfg()
-    enc = dataclasses.replace(cfg.model.encoder, attention_impl="flash")
+    # measured (value-fetch timed): XLA attention beats the flash kernel at
+    # s128 (66.5 vs 82 ms/step at b64); larger batches scale linearly
+    # (compute-bound), so the reference's b64 is also the best operating
+    # point per pair
     cfg = dataclasses.replace(
-        cfg,
-        model=dataclasses.replace(cfg.model, encoder=enc),
-        train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH),
-    )
+        cfg, train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH))
     model = DrlModel(cfg.model)
     B, L = cfg.train.batch_size, cfg.data.max_len
     rng = np.random.default_rng(0)
@@ -85,7 +85,7 @@ def main() -> None:
     pairs_per_sec = n_steps * B / best_dt
     print(json.dumps({
         "metric": ("ECPE train pairs/sec/chip (flagship MMD step, bf16, "
-                   f"flash attention, b{B}xs{L}, value-fetch timed)"),
+                   f"b{B}xs{L}, value-fetch timed)"),
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),

@@ -51,8 +51,9 @@ class SelfAttention(nn.Module):
             # the stock Pallas TPU kernel (with its built-in custom VJP);
             # padding is masked via segment ids so real tokens never attend
             # to pads. Attention-probability dropout is not applied on this
-            # path (the kernel has no dropout support) — residual/MLP
-            # dropout still applies; ~2x faster at large batch.
+            # path (the kernel has no dropout support). Measured on v5e at
+            # seq 128 the XLA attention is FASTER (66.5 vs 82 ms/step at
+            # b64); flash pays off at longer sequences, so it stays opt-in.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds, flash_attention)
 

@@ -128,15 +128,18 @@ def train_epochs(
                 iter_batches(train_arrays, cfg.train.batch_size, shuffle=True,
                              rng=data_rng),
                 size=2, transform=lambda b: b.as_dict(), sharding=sharding)
+            pending = []  # device scalars; fetch every 10 steps so the
+            # dispatch chain pipelines (a per-step float() costs ~2x wall)
             for it, batch in enumerate(batches):
                 state, metrics = train_step(state, batch, it, vi_beta)
-                running += float(metrics["loss"])
+                pending.append(metrics["loss"])
                 n_batches += 1
                 examples_seen += int(batch["example_mask"].sum())
                 if it % 10 == 9:
+                    running = float(sum(pending[-10:]))
                     logger.log({"event": "train", "epoch": epoch,
                                 "it": it + 1, "loss": running / 10})
-                    running = 0.0
+                    pending = []
 
         eval_rng, sub = jax.random.split(eval_rng)
         res = evaluate(eval_step, state.params, test_arrays,

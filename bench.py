@@ -34,6 +34,16 @@ BENCH_BATCH = 64
 
 
 def main() -> None:
+    # persistent compile cache so repeat bench invocations skip the
+    # multi-minute first compile
+    import os
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".carel_cache", "xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship_cfg
     from carel_tpu.models.drl import DrlModel
     from carel_tpu.train.state import create_train_state

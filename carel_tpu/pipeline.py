@@ -146,6 +146,17 @@ def build_pipeline(
     model_cfg = dataclasses.replace(cfg.model, encoder=enc, bow_dim=len(bow))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
+    # max_len=0 -> auto-fit: the reference pads everything to 128 but zh
+    # pairs measure p99<=56 tokens (max 95) — fitting the window to the data
+    # cuts encoder compute proportionally with zero truncation
+    if cfg.data.max_len == 0:
+        probe = tokenizer.encode_batch(
+            train_pairs.pairs + test_pairs.pairs, 128)
+        observed = int(probe.attention_mask.sum(axis=1).max())
+        auto_len = min(128, max(32, -(-observed // 16) * 16))
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, max_len=auto_len))
+
     train_arrays = encode_pairs(train_pairs, tokenizer, bow, cfg.data.max_len)
     test_arrays = encode_pairs(test_pairs, tokenizer, bow, cfg.data.max_len)
 

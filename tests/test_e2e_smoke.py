@@ -102,3 +102,21 @@ def test_resolve_paths_match_reference_layout():
     assert test_p.endswith(
         "pair_data/predicted_emotion/source_enecpe_num/reccon_test.txt")
     assert os.path.exists(train_p) and os.path.exists(test_p)
+
+
+@requires_reference_data
+def test_auto_max_len(tmp_path):
+    cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, data_root=REFERENCE_ROOT,
+                                 max_len=0),
+        train=TrainConfig(batch_size=8, donate=False,
+                          checkpoint_dir=str(tmp_path)))
+    pipe = build_pipeline(cfg, cache_dir=str(tmp_path / "c"),
+                          encoder_cfg=tiny_encoder_config(),
+                          max_train_docs=30, max_test_docs=15)
+    L = pipe.cfg.data.max_len
+    assert 32 <= L < 128 and L % 16 == 0
+    assert pipe.train_arrays.input_ids.shape[1] == L
+    # no truncation: every row ends before the window
+    assert int(pipe.train_arrays.attention_mask.sum(1).max()) <= L

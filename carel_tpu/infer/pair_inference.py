@@ -97,11 +97,12 @@ def run_pair_inference(
         true_df.to_pickle(os.path.join(output_dir, f"{model_id}_true.pkl"))
         pred_df.to_pickle(os.path.join(output_dir, f"{model_id}_pred.pkl"))
 
-    # exclude the first batch (compile) from latency stats when possible
+    # exclude the first batch (compile) from latency/throughput stats
     lat = times[1:] if len(times) > 1 else times
+    steady_pairs = len(arrays) - batch_size if len(times) > 1 else len(arrays)
     return InferenceResult(
         precision=p, recall=r, f1=f1, probs=probs, preds=preds,
         p50_batch_ms=float(np.percentile(lat, 50) * 1e3),
         p95_batch_ms=float(np.percentile(lat, 95) * 1e3),
-        pairs_per_sec=float(len(arrays) / max(times.sum(), 1e-9)),
+        pairs_per_sec=float(max(steady_pairs, 1) / max(lat.sum(), 1e-9)),
     )

@@ -14,7 +14,7 @@ annealing counter), and the tail batch stays masked.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

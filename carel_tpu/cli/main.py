@@ -433,8 +433,29 @@ def cmd_pretrain(args) -> int:
                 "steps": args.steps})
     mlm_cfg = MlmConfig(batch_size=args.mlm_batch, seq_len=args.seq_len,
                         steps=args.steps, learning_rate=args.mlm_lr,
-                        seed=cfg.train.seed, scan_size=args.scan_size)
-    encoder_params = pretrain_mlm(enc, tok, texts, mlm_cfg, logger)
+                        seed=cfg.train.seed, scan_size=args.scan_size,
+                        whole_word=args.whole_word,
+                        language=cfg.data.language,
+                        lr_decay=args.lr_decay,
+                        warmup_steps=args.warmup_steps,
+                        save_every=args.save_every, save_path=args.out)
+    init_params = None
+    if args.init_encoder:
+        # resume pretraining from a previously saved encoder (same
+        # corpus-built tokenizer => same vocab/shapes)
+        import jax
+
+        from carel_tpu.models.encoder import TransformerEncoder
+        from carel_tpu.pretrain import load_encoder
+
+        probe = tok.encode_batch(["init"], 8)
+        template = TransformerEncoder(enc).init(
+            {"params": jax.random.key(0)},
+            probe.input_ids, probe.attention_mask, None,
+            deterministic=True)["params"]
+        init_params = load_encoder(args.init_encoder, template)
+    encoder_params = pretrain_mlm(enc, tok, texts, mlm_cfg, logger,
+                                  init_params=init_params)
     path = save_encoder(args.out, encoder_params)
     print(json.dumps({"encoder_ckpt": path, "clauses": len(texts)}))
     return 0
@@ -658,6 +679,16 @@ def main(argv: Optional[list] = None) -> int:
     p_pre2.add_argument("--seq_len", type=int, default=64)
     p_pre2.add_argument("--mlm_batch", type=int, default=256)
     p_pre2.add_argument("--mlm_lr", type=float, default=1e-4)
+    p_pre2.add_argument("--whole_word", action="store_true",
+                        help="whole-word masking (jieba words for zh, "
+                             "WordPiece words for en) — the wwm-ext recipe")
+    p_pre2.add_argument("--lr_decay", action="store_true",
+                        help="cosine decay to 10%% of peak over --steps")
+    p_pre2.add_argument("--warmup_steps", type=int, default=200)
+    p_pre2.add_argument("--init_encoder", default="",
+                        help="orbax encoder dir to resume pretraining from")
+    p_pre2.add_argument("--save_every", type=int, default=0,
+                        help="snapshot the encoder every N steps")
     p_pre2.set_defaults(fn=cmd_pretrain)
 
     p_case = sub.add_parser("case_analysis",

@@ -56,6 +56,18 @@ class MlmConfig:
     # resident on device — the naive one-dispatch-per-step loop is host-
     # latency-bound through the TPU tunnel (~9 steps/s vs the chip's ~100/s)
     scan_size: int = 50
+    # whole-word masking: mask decisions are shared across all tokens of a
+    # word (jieba words for the zh char tokenizer; "##"-joined pieces for
+    # WordPiece) — the recipe behind `hfl/chinese-roberta-wwm-ext`, the
+    # encoder the reference downloads (flagship :63-71)
+    whole_word: bool = False
+    language: str = "zh"
+    # cosine decay to 10% of peak after warmup (long-run schedule); the
+    # default constant-after-warmup schedule is kept for short runs
+    lr_decay: bool = False
+    # periodic orbax snapshots ("{save_path}_step{N}") for long runs
+    save_every: int = 0
+    save_path: str = ""
 
 
 def make_mlm_batches(
@@ -66,6 +78,54 @@ def make_mlm_batches(
     """Tokenize the corpus once into [N, L] ids + masks."""
     enc = tokenizer.encode_batch(list(texts), cfg.seq_len)
     return enc.input_ids, enc.attention_mask
+
+
+def make_word_starts(
+    texts: Sequence[str],
+    tokenizer,
+    seq_len: int,
+    language: str,
+) -> np.ndarray:
+    """[N, L] index of the first token of the word containing each position.
+
+    Gathering per-position masking randomness through this map makes every
+    token of a word share one mask decision — whole-word masking. Specials
+    and padding point at themselves (they are never mask candidates).
+
+    zh: words from jieba over the (space-stripped) clause; the char tokenizer
+    emits exactly one token per non-space char, so word spans are char spans.
+    en: WordPiece continuation pieces (``##`` prefix) extend the previous
+    word, mirroring BERT-WWM's create_pretraining_data grouping.
+    """
+    n = len(texts)
+    out = np.tile(np.arange(seq_len, dtype=np.int32), (n, 1))
+    if language == "zh":
+        import jieba
+
+        for i, t in enumerate(texts):
+            t = "".join(ch for ch in str(t) if not ch.isspace())
+            pos = 1  # 0 is [CLS]
+            for word in jieba.cut(t):
+                start = pos
+                for _ in word:
+                    if pos < seq_len:
+                        out[i, pos] = min(start, seq_len - 1)
+                    pos += 1
+    else:
+        id_to_token = {}
+        if hasattr(tokenizer, "_tok"):
+            id_to_token = {v: k for k, v in tokenizer._tok.get_vocab().items()}
+        for i, t in enumerate(texts):
+            ids = tokenizer.tokenize_to_ids(str(t))
+            pos, start = 1, 1
+            for tid in ids:
+                tok = id_to_token.get(tid, "")
+                if not tok.startswith("##"):
+                    start = pos
+                if pos < seq_len:
+                    out[i, pos] = min(start, seq_len - 1)
+                pos += 1
+    return out
 
 
 def pretrain_mlm(
@@ -85,6 +145,9 @@ def pretrain_mlm(
     model = MlmModel(encoder_cfg)
     ids_all, mask_all = make_mlm_batches(texts, tokenizer, cfg)
     n = len(ids_all)
+    ws_all = None
+    if cfg.whole_word:
+        ws_all = make_word_starts(texts, tokenizer, cfg.seq_len, cfg.language)
 
     rng = jax.random.key(cfg.seed)
     p_rng, rng = jax.random.split(rng)
@@ -95,7 +158,13 @@ def pretrain_mlm(
         params = dict(params)
         params["encoder"] = init_params
 
-    schedule = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    if cfg.lr_decay:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.steps,
+            end_value=cfg.learning_rate * 0.1)
+    else:
+        schedule = optax.linear_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps)
     tx = optax.adamw(schedule, weight_decay=0.01, eps=1e-8)
     opt_state = tx.init(params)
 
@@ -103,6 +172,7 @@ def pretrain_mlm(
     # in-kernel so one dispatch covers scan_size optimizer steps
     ids_dev = jnp.asarray(ids_all)
     mask_dev = jnp.asarray(mask_all)
+    ws_dev = jnp.asarray(ws_all) if ws_all is not None else None
 
     def one_step(carry, _):
         params, opt_state, rng = carry
@@ -115,8 +185,15 @@ def pretrain_mlm(
         special = (ids <= 4)
         candidates = (attn > 0) & (~special)
         u = jax.random.uniform(m_rng, ids.shape)
-        is_masked = (u < cfg.mask_prob) & candidates
         u2 = jax.random.uniform(c_rng, ids.shape)
+        if ws_dev is not None:
+            # whole-word: every token reads the randomness of its word's
+            # first token, so the 15% mask choice and the 80/10/10 branch
+            # are made once per word
+            ws = jnp.take(ws_dev, idx, axis=0)
+            u = jnp.take_along_axis(u, ws, axis=1)
+            u2 = jnp.take_along_axis(u2, ws, axis=1)
+        is_masked = (u < cfg.mask_prob) & candidates
         replace_mask = is_masked & (u2 < 0.8)
         replace_rand = is_masked & (u2 >= 0.8) & (u2 < 0.9)
         rand_ids = jax.random.randint(r_rng, ids.shape, 5,
@@ -145,6 +222,7 @@ def pretrain_mlm(
         return params, opt_state, rng, losses.mean()
 
     done = 0
+    last_saved = 0
     while done < cfg.steps:
         params, opt_state, rng, mean_loss = multi_step(params, opt_state, rng)
         # float() is a value fetch — the only true synchronization on the
@@ -154,6 +232,10 @@ def pretrain_mlm(
         if logger:
             logger.log({"event": "mlm_step", "step": done,
                         "loss": loss_val})
+        if (cfg.save_every and cfg.save_path
+                and done - last_saved >= cfg.save_every and done < cfg.steps):
+            save_encoder(f"{cfg.save_path}_step{done}", params["encoder"])
+            last_saved = done
     return params["encoder"]
 
 

@@ -401,6 +401,55 @@ def cmd_pair(args) -> int:
     return 0
 
 
+def cmd_dann(args) -> int:
+    """Clause-level DANN emotion classifier (emotion_classifier.py:448-553):
+    imbalanced-sampled source training + full-set pseudo-label self-training,
+    with the gradient-reversal domain loss on by default (--no_domain_loss
+    reproduces the reference's shipped recipe, which comments it out)."""
+    _setup_backend(args)
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.stage1.dann_driver import (
+        DannConfig,
+        read_clause_data,
+        run_dann,
+    )
+    from carel_tpu.train.logging import JsonlLogger
+
+    language = args.language or "zh"
+    cfg = DannConfig(
+        source_domain=args.source_domain or "society",
+        target_domain=args.target_domain or "finance",
+        doc_dir=args.doc_dir or "domains/THUCTC_multiple",
+        epochs=args.epochs if args.epochs is not None else 20,
+        self_iteration=(args.self_iteration
+                        if args.self_iteration is not None else 5),
+        self_epochs=(args.self_epochs
+                     if args.self_epochs is not None else 10),
+        batch_size=args.batch_size or 32,
+        learning_rate=args.vae_lr if args.vae_lr is not None else 1e-5,
+        domain_weight=args.domain_weight,
+        max_len=args.max_len or 128,
+        use_domain_loss=not args.no_domain_loss,
+    )
+    src = os.path.join(args.data_root, cfg.doc_dir,
+                       f"{cfg.source_domain}.txt")
+    tgt = os.path.join(args.data_root, cfg.doc_dir,
+                       f"{cfg.target_domain}.txt")
+    corpus = read_clause_data(src)[0] + read_clause_data(tgt)[0]
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tokenizer = build_tokenizer(
+        language, corpus,
+        os.path.join(args.cache_dir, f"tokenizer_{language}.json"))
+    enc = _encoder_preset(args.encoder, language)
+    enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
+    logger = JsonlLogger(args.log_dir or "emotion_logs", "dann")
+    res = run_dann(cfg, enc, tokenizer, args.data_root, logger,
+                   encoder_ckpt=args.hf_encoder,
+                   max_clauses=args.max_test_docs)
+    print(json.dumps({"base": res["base"], "best": res["best"]}))
+    return 0
+
+
 def cmd_pretrain(args) -> int:
     """MLM pretraining (carel_tpu.pretrain): bootstraps an encoder in the
     no-egress environment where the reference's hub downloads are impossible;
@@ -665,6 +714,20 @@ def main(argv: Optional[list] = None) -> int:
     p_pair.add_argument("--self_chain", action="store_true",
                         help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
+
+    p_dann = sub.add_parser(
+        "dann", help="clause-level DANN emotion classifier "
+                     "(emotion_classifier.py)")
+    _add_common(p_dann)
+    p_dann.add_argument("--doc_dir", default="",
+                        help="domain-file dir under data_root "
+                             "(default domains/THUCTC_multiple)")
+    p_dann.add_argument("--domain_weight", type=float, default=3.0,
+                        help="GRL lambda (reference default 3)")
+    p_dann.add_argument("--no_domain_loss", action="store_true",
+                        help="drop the adversarial domain term, exactly "
+                             "like the reference's shipped train loop")
+    p_dann.set_defaults(fn=cmd_dann)
 
     p_pre2 = sub.add_parser("pretrain",
                             help="MLM-pretrain the encoder on a corpus")

@@ -61,29 +61,81 @@ def imbalanced_sample_weights(labels: np.ndarray) -> np.ndarray:
     return w / w.sum()
 
 
+def init_dann(model: "ClauseEmotionDANN", probe: dict, seed: int = 42,
+              encoder_params=None):
+    """Initialize (params, batch_stats); optionally splice in pretrained
+    encoder weights (carel_tpu.pretrain output)."""
+    rng = jax.random.key(seed)
+    variables = model.init(
+        {"params": rng}, probe["input_ids"][:2], probe["attention_mask"][:2],
+        probe["token_type_ids"][:2], use_running_average=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if encoder_params is not None:
+        params = dict(params)
+        params["encoder"] = encoder_params
+    return params, batch_stats
+
+
+def predict_dann(model: "ClauseEmotionDANN", params, batch_stats, data: dict,
+                 batch_size: int = 256) -> np.ndarray:
+    """Emotion softmax probabilities [N, n_class] over a clause set."""
+    @jax.jit
+    def fwd(params, batch_stats, ids, mask, types):
+        emo, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                             ids, mask, types, deterministic=True,
+                             use_running_average=True)
+        return jax.nn.softmax(emo.astype(jnp.float32), -1)
+
+    n = len(data["input_ids"])
+    out = []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        out.append(np.asarray(fwd(
+            params, batch_stats, jnp.asarray(data["input_ids"][s:e]),
+            jnp.asarray(data["attention_mask"][s:e]),
+            jnp.asarray(data["token_type_ids"][s:e]))))
+    return np.concatenate(out, 0)
+
+
 def train_dann(
     model: "ClauseEmotionDANN",
-    source: dict,  # {"input_ids","attention_mask","token_type_ids","labels"}
-    target: dict,  # same keys; labels ignored (unlabeled)
+    labeled: dict,  # {"input_ids","attention_mask","token_type_ids","labels"}
+    unlabeled: dict,  # same keys; labels ignored (other domain, unlabeled)
     epochs: int = 5,
     batch_size: int = 32,
     learning_rate: float = 2e-5,
     seed: int = 42,
     logger=None,
+    init=None,  # (params, batch_stats, opt_state) to continue training
+    labeled_domain: int = 0,  # domain id of the labeled half (0=src, 1=tgt)
+    use_domain_loss: bool = True,
+    eval_fn=None,  # called with (params, batch_stats, epoch) after each epoch
 ):
     """Adversarial domain-adaptation loop (emotion_classifier.py:448-553):
-    each batch mixes imbalance-oversampled source clauses (emotion CE) with
-    target clauses (domain CE through the GRL)."""
+    each batch mixes imbalance-oversampled labeled clauses (emotion CE) with
+    clauses from the other domain (domain CE through the GRL).
+
+    use_domain_loss=False reproduces the reference's SHIPPED recipe exactly —
+    its train_model has the discriminator path commented out
+    (emotion_classifier.py:279-288, 330-347) so only the emotion CE trains;
+    True enables the full DANN objective the model class was built for
+    (GRL + domain head, :78-174).
+
+    Returns (params, batch_stats, opt_state); pass the triple back via `init`
+    for the self-training iterations (the reference reuses one Adam across
+    the base run and all self-train iterations, :500, :527-534).
+    """
     import optax
 
     rng = jax.random.key(seed)
-    init_ids = source["input_ids"][:2]
-    variables = model.init(
-        {"params": rng}, init_ids, source["attention_mask"][:2],
-        source["token_type_ids"][:2], use_running_average=False)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.adam(learning_rate, eps=1e-8)
-    opt_state = tx.init(params)
+    if init is None:
+        params, batch_stats = init_dann(model, labeled, seed)
+        opt_state = tx.init(params)
+    else:
+        params, batch_stats, opt_state = init
+        if opt_state is None:
+            opt_state = tx.init(params)
 
     @jax.jit
     def step(params, batch_stats, opt_state, ids, mask, types, emo_y, dom_y,
@@ -94,7 +146,8 @@ def train_dann(
                 deterministic=False, use_running_average=False,
                 mutable=["batch_stats"], rngs={"dropout": dr})
             e_loss, d_loss = dann_losses(emo, dom, emo_y, dom_y)
-            return e_loss + d_loss, (updates, e_loss, d_loss)
+            total = e_loss + d_loss if use_domain_loss else e_loss
+            return total, (updates, e_loss, d_loss)
 
         (loss, (updates, e_loss, d_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -103,28 +156,28 @@ def train_dann(
                 updates.get("batch_stats", batch_stats), opt_state,
                 e_loss, d_loss)
 
-    n_src = len(source["labels"])
-    n_tgt = len(target["input_ids"])
-    src_w = imbalanced_sample_weights(np.asarray(source["labels"]))
+    n_lab = len(labeled["labels"])
+    n_unl = len(unlabeled["input_ids"])
+    lab_w = imbalanced_sample_weights(np.asarray(labeled["labels"]))
     data_rng = np.random.default_rng(seed)
     half = batch_size // 2
-    steps_per_epoch = max(n_src // half, 1)
+    steps_per_epoch = max(n_lab // half, 1)
     for epoch in range(epochs):
         for _ in range(steps_per_epoch):
-            si = data_rng.choice(n_src, half, p=src_w)
-            ti = data_rng.choice(n_tgt, batch_size - half)
-            ids = jnp.concatenate([source["input_ids"][si],
-                                   target["input_ids"][ti]])
-            mask = jnp.concatenate([source["attention_mask"][si],
-                                    target["attention_mask"][ti]])
-            types = jnp.concatenate([source["token_type_ids"][si],
-                                     target["token_type_ids"][ti]])
+            si = data_rng.choice(n_lab, half, p=lab_w)
+            ti = data_rng.choice(n_unl, batch_size - half)
+            ids = jnp.concatenate([labeled["input_ids"][si],
+                                   unlabeled["input_ids"][ti]])
+            mask = jnp.concatenate([labeled["attention_mask"][si],
+                                    unlabeled["attention_mask"][ti]])
+            types = jnp.concatenate([labeled["token_type_ids"][si],
+                                     unlabeled["token_type_ids"][ti]])
             emo_y = jnp.concatenate([
-                jnp.asarray(np.asarray(source["labels"])[si], jnp.int32),
+                jnp.asarray(np.asarray(labeled["labels"])[si], jnp.int32),
                 jnp.full(batch_size - half, -1, jnp.int32)])
             dom_y = jnp.concatenate([
-                jnp.zeros(half, jnp.int32),
-                jnp.ones(batch_size - half, jnp.int32)])
+                jnp.full(half, labeled_domain, jnp.int32),
+                jnp.full(batch_size - half, 1 - labeled_domain, jnp.int32)])
             rng, dr = jax.random.split(rng)
             params, batch_stats, opt_state, e_loss, d_loss = step(
                 params, batch_stats, opt_state, ids, mask, types,
@@ -133,7 +186,9 @@ def train_dann(
             logger.log({"event": "dann_epoch", "epoch": epoch + 1,
                         "emo_loss": float(e_loss),
                         "dom_loss": float(d_loss)})
-    return params, batch_stats
+        if eval_fn is not None:
+            eval_fn(params, batch_stats, epoch + 1)
+    return params, batch_stats, opt_state
 
 
 def dann_losses(

@@ -13,9 +13,8 @@ effectively sign-SGD with Adam's step-1 bias correction. fresh_adam=True (the
 default) reproduces that exactly; False uses a standard carried Adam, which
 usually trains better.
 
-A DANN variant (emotion_classifier.py:78-174) is available with dann=True:
-a gradient-reversal domain discriminator over pooled clause features pushes
-source/target features together.
+The clause-level DANN variant (emotion_classifier.py:78-174) is a separate
+driver: carel_tpu.stage1.dann_driver (CLI verb `dann`).
 """
 
 from __future__ import annotations
@@ -60,8 +59,6 @@ class Stage1Config:
     emotion_weight: float = 1.0
     clause_mixer: str = "bilstm"
     fresh_adam: bool = True  # reference's new-Adam-per-step quirk
-    dann: bool = False
-    dann_lambda: float = 1.0
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     save_dir: str = ""  # pair-file output dir; default mirrors the reference

@@ -378,11 +378,16 @@ def cmd_pair(args) -> int:
         cfg.data.language, corpus,
         os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
     bow = BowVocab.from_words([], cfg.data.language)  # unused by this model
+    max_len = cfg.data.max_len
+    if max_len == 0:  # auto-fit window (see pipeline.fit_max_len)
+        from carel_tpu.pipeline import fit_max_len
+
+        max_len = fit_max_len(tok, train_pairs.pairs + test_pairs.pairs)
     enc_arrays = lambda ps: encode_pairs(
-        ps, tok, bow, cfg.data.max_len, sentence_pair=args.sentence_pair)
+        ps, tok, bow, max_len, sentence_pair=args.sentence_pair)
 
     pcfg = PairTrainerConfig(
-        max_len=cfg.data.max_len,
+        max_len=max_len,
         batch_size=cfg.train.batch_size,
         epochs=cfg.train.epochs if args.epochs is None else args.epochs,
         self_epochs=cfg.train.self_epochs,
@@ -398,6 +403,105 @@ def cmd_pair(args) -> int:
         pcfg, enc, enc_arrays(train_pairs), enc_arrays(test_pairs),
         num_unpred, test_pairs, enc_arrays, logger)
     print(json.dumps({"p": best[0], "r": best[1], "f1": best[2]}))
+    return 0
+
+
+def cmd_cit(args) -> int:
+    """CIT triple classifier chained onto pair-inference outputs
+    (mc_classifier.py:442-547): gold triples with KNN negatives from the
+    source domain, prediction-filtering eval on the target candidates,
+    per-document KNN self-training."""
+    _setup_backend(args)
+    import random
+
+    import pandas as pd
+
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.data.pairs import build_pairs
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.data.triples import build_cit_triples
+    from carel_tpu.embeddings import EncoderEmbedder
+    from carel_tpu.pipeline import fit_max_len, resolve_paths
+    from carel_tpu.train.cit_trainer import CitConfig, run_cit
+    from carel_tpu.train.logging import JsonlLogger
+
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    train_path, test_path, _ = resolve_paths(cfg)
+    train_docs = parse_ecpe_file(train_path)
+    test_docs = parse_ecpe_file(test_path)
+    if args.max_train_docs:
+        train_docs = train_docs[: args.max_train_docs]
+    if args.max_test_docs:
+        test_docs = test_docs[: args.max_test_docs]
+    from carel_tpu.pipeline import _spaced_sep
+
+    import numpy as np
+
+    test_pairs = build_pairs(test_docs, test=True,
+                             spaced_sep=_spaced_sep(cfg),
+                             rng=random.Random(cfg.data.seed))
+
+    # prediction/true tables from `infer --output_dir` (the reference reads
+    # pair_data/ec_pair/{id}_{true,pred}.pkl, mc_classifier.py:462-470)
+    pred_df = pd.read_pickle(args.pred_pkl)
+    true_df = pd.read_pickle(args.true_pkl)
+    pair_texts = [str(t) for t in pred_df["pair"]]
+    pred_labels = np.asarray(pred_df["label"], np.float32)
+    true_labels = np.asarray(true_df["label"], np.float32)
+    if len(pred_labels) != sum(test_pairs.docs_pair_size):
+        raise SystemExit(
+            f"prediction table has {len(pred_labels)} rows but the test "
+            f"candidate enumeration has {sum(test_pairs.docs_pair_size)} — "
+            "pass the same --preset/--test_file/--max_test_docs used for "
+            "`infer`")
+
+    corpus = [c.text for d in train_docs + test_docs for c in d.clauses]
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tok = build_tokenizer(
+        cfg.data.language, corpus,
+        os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
+
+    # embedder for KNN negatives: our encoder (pretrained when provided) in
+    # place of the reference's downloaded SimCSE (mc_classifier.py:120-144)
+    import jax
+
+    from carel_tpu.models.encoder import TransformerEncoder
+
+    probe = tok.encode_batch(["init"], 8)
+    enc_params = TransformerEncoder(enc).init(
+        {"params": jax.random.key(0)}, probe.input_ids,
+        probe.attention_mask, None, deterministic=True)["params"]
+    if args.hf_encoder:
+        if os.path.exists(os.path.join(args.hf_encoder, "config.json")):
+            from carel_tpu.models.hf_port import port_hf_encoder
+
+            enc_params = port_hf_encoder(args.hf_encoder, enc)
+        else:
+            from carel_tpu.pretrain import load_encoder
+
+            enc_params = load_encoder(args.hf_encoder, enc_params)
+    embedder = EncoderEmbedder(enc, enc_params, tok, max_len=64)
+
+    max_len = cfg.data.max_len or fit_max_len(tok, pair_texts)
+    ccfg = CitConfig(
+        max_len=max_len,
+        batch_size=args.batch_size or 32,
+        epochs=args.epochs if args.epochs is not None else 1,
+        self_epochs=(args.self_epochs
+                     if args.self_epochs is not None else 5),
+        self_iteration=(args.self_iteration
+                        if args.self_iteration is not None else 10),
+        learning_rate=args.vae_lr if args.vae_lr is not None else 1e-5,
+        seed=cfg.train.seed)
+    logger = JsonlLogger(args.log_dir or "result_logs", "cit")
+    train_triples = build_cit_triples(train_docs, embedder)
+    res = run_cit(ccfg, enc, tok, train_triples, test_docs,
+                  test_pairs.docs_pair_size, pair_texts, pred_labels,
+                  true_labels, embedder, logger,
+                  encoder_params=enc_params if args.hf_encoder else None)
+    print(json.dumps({"base": res["base"], "best": res["best"]}))
     return 0
 
 
@@ -714,6 +818,16 @@ def main(argv: Optional[list] = None) -> int:
     p_pair.add_argument("--self_chain", action="store_true",
                         help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
+
+    p_cit = sub.add_parser(
+        "cit", help="CIT triple classifier over pair-inference outputs "
+                    "(mc_classifier.py)")
+    _add_common(p_cit)
+    p_cit.add_argument("--pred_pkl", required=True,
+                       help="{id}_pred.pkl from `infer --output_dir`")
+    p_cit.add_argument("--true_pkl", required=True,
+                       help="{id}_true.pkl from `infer --output_dir`")
+    p_cit.set_defaults(fn=cmd_cit)
 
     p_dann = sub.add_parser(
         "dann", help="clause-level DANN emotion classifier "

@@ -88,6 +88,17 @@ class Pipeline:
                             self.cfg.data.max_len)
 
 
+def fit_max_len(tokenizer, texts, cap: int = 128, floor: int = 32) -> int:
+    """Smallest multiple-of-16 window covering every text, in [floor, cap].
+
+    The MXU tiles sequences in multiples of 8/16; rounding the observed max
+    up to 16 keeps XLA layouts efficient while guaranteeing zero truncation
+    relative to the reference's fixed 128-token window (flagship :35)."""
+    probe = tokenizer.encode_batch(list(texts), cap)
+    observed = int(probe.attention_mask.sum(axis=1).max())
+    return min(cap, max(floor, -(-observed // 16) * 16))
+
+
 def _spaced_sep(cfg: CarelConfig) -> bool:
     return cfg.data.language == "en" and cfg.data.bow_optimize
 
@@ -150,10 +161,8 @@ def build_pipeline(
     # pairs measure p99<=56 tokens (max 95) — fitting the window to the data
     # cuts encoder compute proportionally with zero truncation
     if cfg.data.max_len == 0:
-        probe = tokenizer.encode_batch(
-            train_pairs.pairs + test_pairs.pairs, 128)
-        observed = int(probe.attention_mask.sum(axis=1).max())
-        auto_len = min(128, max(32, -(-observed // 16) * 16))
+        auto_len = fit_max_len(tokenizer,
+                               train_pairs.pairs + test_pairs.pairs)
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, max_len=auto_len))
 

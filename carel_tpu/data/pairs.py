@@ -62,12 +62,13 @@ def _pair_text(doc: Document, emo_id: int, cau_id: int, spaced_sep: bool) -> str
     emo_text = doc.clause(emo_id).text_field3
     cau_text = doc.clause(cau_id).text_field3
     if spaced_sep:
-        # en + bow_optimize path (newsplit :928-930)
-        return emo_text.strip() + " [SEP] " + cau_text.strip()
-    # zh path: strip ALL whitespace (reference does .replace(" ", "") on the
-    # stripped field)
-    return (emo_text.strip().replace(" ", "") + "[SEP]"
-            + cau_text.strip().replace(" ", ""))
+        # en + bow_optimize path (newsplit :925-927): the comma-truncated
+        # field is joined VERBATIM — leading/trailing spaces inside the field
+        # survive (harmless downstream: the WordPiece pre-tokenizer splits on
+        # whitespace)
+        return emo_text + " [SEP] " + cau_text
+    # zh path: spaces removed from the field (flagship :710-727)
+    return emo_text.replace(" ", "") + "[SEP]" + cau_text.replace(" ", "")
 
 
 def build_pairs(

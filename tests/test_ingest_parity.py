@@ -77,7 +77,12 @@ def _extract_oracle(src_path: str, language: str, bow_optimize: str = "false"):
         "opt": types.SimpleNamespace(language=language,
                                      bow_optimize=bow_optimize),
     }
-    exec(compile(mod, src_path, "exec"), ns)
+    import warnings
+
+    with warnings.catch_warnings():
+        # the reference's own regex strings raise SyntaxWarning on 3.12
+        warnings.simplefilter("ignore", SyntaxWarning)
+        exec(compile(mod, src_path, "exec"), ns)
     return ns["read_ECPE_data"]
 
 

@@ -86,6 +86,11 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
             kw[f] = v
     if args.vae_lr is not None:
         kw["vae_lr"] = args.vae_lr
+    if getattr(args, "mesh_shape", ""):
+        parts = [int(x) for x in args.mesh_shape.split(",")]
+        if len(parts) != 2:
+            raise SystemExit("--mesh_shape expects 'dp,tp', e.g. 4,2")
+        kw["mesh_shape"] = tuple(parts)
     if args.self_strategy:
         kw["self_strategy"] = SelfStrategy(args.self_strategy)
     if args.debug_nans:
@@ -136,6 +141,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cache_dir", default=".carel_cache")
     p.add_argument("--num_devices", type=int, default=None,
                    help="devices for the data mesh (0/None = all)")
+    p.add_argument("--mesh_shape", default="",
+                   help="dp,tp mesh, e.g. 4,2 = dp4 x tp2 (Megatron-split "
+                        "encoder weights on the model axis)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax_debug_nans (the reference's anomaly detection)")
     p.add_argument("--profile_dir", default="",
@@ -161,6 +169,28 @@ def _setup_backend(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # a CPU mesh request (--mesh_shape / --num_devices) needs a virtual
+        # multi-device backend; rebuild it if one is already live with fewer
+        # devices (the image's sitecustomize pre-imports jax on 'axon')
+        need = 1
+        ms = getattr(args, "mesh_shape", "")
+        if ms:
+            p = [int(x) for x in ms.split(",")]
+            need = p[0] * p[1] if len(p) == 2 else 1
+        nd = getattr(args, "num_devices", None)
+        if nd:
+            need = max(need, nd)
+        if need > 1:
+            try:
+                have = len(jax.devices())
+            except Exception:
+                have = 0
+            if have < need:
+                import jax.extend.backend
+
+                jax.extend.backend.clear_backends()
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_num_cpu_devices", need)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     # persistent compilation cache: repeat runs of the same preset skip the
@@ -198,12 +228,19 @@ def cmd_train(args) -> int:
                 "vocab": cfg.model.encoder.vocab_size})
 
     mesh = None
-    if cfg.train.num_devices and cfg.train.num_devices > 1:
+    if cfg.train.mesh_shape is not None:
+        # dp x tp mesh, e.g. --mesh_shape 4,2: batch on 'data', encoder
+        # attention/MLP weights Megatron-split on 'model'
+        from carel_tpu.parallel.mesh import make_mesh
+
+        d, m = cfg.train.mesh_shape
+        mesh = make_mesh(d * m, axes=("data", "model"), shape=(d, m))
+    elif cfg.train.num_devices and cfg.train.num_devices > 1:
         from carel_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(cfg.train.num_devices, axes=("data",))
 
-    state = init_state(pipe)
+    state = init_state(pipe, mesh=mesh)
     if args.resume:
         from carel_tpu.train import checkpoint as _ckpt
 

@@ -29,6 +29,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_stacked(mesh: Mesh, stacked: Any) -> Any:
+    """Place stacked whole-epoch arrays [nb, B, ...]: the scan axis stays
+    whole, the batch axis rides 'data'."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+
+
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Replicate parameters/optimizer state across the mesh."""
     sh = replicated_sharding(mesh)

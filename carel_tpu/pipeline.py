@@ -183,8 +183,12 @@ def build_pipeline(
     )
 
 
-def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True
-               ) -> TrainState:
+def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True,
+               mesh=None) -> TrainState:
+    """Initialize the train state; with a mesh, params are placed BEFORE the
+    optimizer states are created so the opt states inherit the same layout
+    (replicated for pure DP; Megatron-split encoder weights when the mesh
+    has a >1 'model' axis)."""
     cfg = pipe.cfg
     rng = jax.random.key(cfg.train.seed)
     p_rng, s_rng, state_rng = jax.random.split(rng, 3)
@@ -209,5 +213,14 @@ def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True
 
             params["encoder"] = load_encoder(
                 cfg.model.pretrained_encoder, params["encoder"])
+    if mesh is not None:
+        if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            from carel_tpu.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(mesh, params)
+        else:
+            from carel_tpu.parallel.sharding import shard_params
+
+            params = shard_params(mesh, params)
     return create_train_state(cfg, params, state_rng,
                               compat_frozen_latent_heads)

@@ -113,6 +113,10 @@ def train_epochs(
 
             stacked = stack_epoch(train_arrays, cfg.train.batch_size,
                                   rng=data_rng)
+            if mesh is not None:
+                from carel_tpu.parallel.sharding import shard_stacked
+
+                stacked = shard_stacked(mesh, stacked)
             state, losses = train_step(state, stacked, vi_beta)
             losses = np.asarray(losses)  # value fetch = true sync
             n_batches = len(losses)

@@ -101,6 +101,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["save_state_every"] = args.save_state_every
     if getattr(args, "scan_epoch", False):
         kw["scan_epoch"] = True
+    if getattr(args, "no_scan_epoch", False):
+        kw["scan_epoch"] = False
     if kw:
         train = dataclasses.replace(train, **kw)
     return dataclasses.replace(cfg, data=data, loss=loss, model=model,
@@ -154,7 +156,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ops_impl", default="xla", choices=["xla", "pallas"],
                    help="regularizer kernel implementation")
     p.add_argument("--scan_epoch", action="store_true",
-                   help="run each epoch as one device dispatch (lax.scan)")
+                   help="run each epoch as one device dispatch (lax.scan; "
+                        "the default)")
+    p.add_argument("--no_scan_epoch", action="store_true",
+                   help="per-step training loop (step-level debugging)")
     p.add_argument("--save_state_every", type=int, default=0,
                    help="full resumable-state snapshot cadence (epochs)")
     p.add_argument("--resume", default="",

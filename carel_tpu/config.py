@@ -189,7 +189,12 @@ class TrainConfig:
     # run each training epoch as ONE device dispatch (lax.scan over the
     # stacked epoch) — eliminates per-step host round trips, which dominate
     # on remotely-attached chips with small datasets
-    scan_epoch: bool = False
+    # whole-epoch lax.scan training: one device dispatch per epoch instead of
+    # one per batch — measured 2x wall-clock on the remote-attached TPU where
+    # per-step host round trips dominate (train/scan_epoch.py). Default ON;
+    # --no_scan_epoch restores the per-step loop (e.g. for step-level
+    # debugging/profiling).
+    scan_epoch: bool = True
     # parallelism
     num_devices: int = 0  # 0 = all available
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel

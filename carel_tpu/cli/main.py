@@ -348,7 +348,8 @@ def cmd_stage1(args) -> int:
     enc = dataclasses.replace(enc, vocab_size=tokenizer.vocab_size)
     logger = JsonlLogger(args.log_dir or "emotion_logs", "stage1")
     params, best, pair_file = train_stage1(
-        s1, enc, train_arr, test_arr, tokenizer, logger)
+        s1, enc, train_arr, test_arr, tokenizer, logger,
+        encoder_ckpt=args.hf_encoder)
     print(json.dumps({"best_f1": best[2], "pair_file": pair_file}))
     return 0
 

@@ -192,6 +192,7 @@ def train_stage1(
     tokenizer,
     logger: Optional[JsonlLogger] = None,
     write_pairs: bool = True,
+    encoder_ckpt: str = "",  # orbax (carel_tpu.pretrain) or HF dir
 ) -> Tuple[dict, Tuple[float, float, float], Optional[str]]:
     """Full stage-1 run. Returns (params, best (p,r,f1), pair_file_path)."""
     logger = logger or JsonlLogger(echo=False)
@@ -203,6 +204,19 @@ def train_stage1(
     params = model.init({"params": p_rng, "dropout": d_rng},
                         init_b["x_ids"], init_b["x_masks"],
                         init_b["x_types"], deterministic=False)["params"]
+    if encoder_ckpt:
+        # pretrained encoder (the reference downloads hub BERT, devin :265);
+        # in-framework MLM output or a local HF checkpoint dir
+        params = dict(params)
+        if os.path.exists(os.path.join(encoder_ckpt, "config.json")):
+            from carel_tpu.models.hf_port import port_hf_encoder
+
+            params["encoder"] = port_hf_encoder(encoder_ckpt, encoder_cfg)
+        else:
+            from carel_tpu.pretrain import load_encoder
+
+            params["encoder"] = load_encoder(encoder_ckpt,
+                                             params["encoder"])
     tx = None if cfg.fresh_adam else optax.adam(cfg.learning_rate, eps=1e-8)
     opt_state = None if cfg.fresh_adam else tx.init(params)
     step = make_stage1_step(cfg, model, tx)

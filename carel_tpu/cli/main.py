@@ -800,7 +800,7 @@ def cmd_vis(args) -> int:
     return 0
 
 
-def main(argv: Optional[list] = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="carel_tpu",
                                      description=__doc__.split("\n")[0])
     sub = parser.add_subparsers(dest="command", required=True)
@@ -924,7 +924,11 @@ def main(argv: Optional[list] = None) -> int:
     p_hpo.add_argument("--n_trials", type=int, default=20)
     p_hpo.set_defaults(fn=cmd_hpo)
 
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -449,6 +449,86 @@ def cmd_pair(args) -> int:
     return 0
 
 
+def cmd_embed(args) -> int:
+    """Contrastive domain-embedder fine-tuning (the sentence-transformer
+    scripts: chi/en[_ec]_sentence_transformer.py): batch-all triplet loss on
+    domain labels over whole docs (--level doc) or single clauses
+    (--level clause); saves the fine-tuned encoder as an orbax dir usable
+    anywhere --hf_encoder is accepted, and optionally dumps embeddings."""
+    _setup_backend(args)
+    from carel_tpu.data.ecpe_format import parse_ecpe_file
+    from carel_tpu.data.tokenizer import build_tokenizer
+    from carel_tpu.embeddings import (
+        EmbedderTrainConfig,
+        EncoderEmbedder,
+        load_domain_docs,
+        save_embeddings,
+        train_domain_embedder,
+    )
+    from carel_tpu.pretrain import save_encoder
+    from carel_tpu.train.logging import JsonlLogger
+
+    language = args.language or "zh"
+    paths = {os.path.splitext(os.path.basename(p))[0]: p
+             for p in args.files}
+    if args.level == "doc":
+        texts, labels = load_domain_docs(paths)
+    else:  # clause-level (the _ec_ script variants)
+        texts, labels = [], []
+        for label, (name, p) in enumerate(sorted(paths.items())):
+            for doc in parse_ecpe_file(p):
+                for cl in doc.clauses:
+                    texts.append(
+                        (cl.text_field3 or cl.text).replace(" ", "")
+                        if language == "zh" else (cl.text_field3 or cl.text))
+                    labels.append(label)
+    if args.max_texts:
+        texts, labels = texts[: args.max_texts], labels[: args.max_texts]
+
+    os.makedirs(args.cache_dir, exist_ok=True)
+    tok = build_tokenizer(
+        language, texts,
+        os.path.join(args.cache_dir, f"tokenizer_{language}.json"))
+    enc = _encoder_preset(args.encoder, language)
+    enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
+    ecfg = EmbedderTrainConfig(
+        batch_size=args.batch_size or 32,
+        epochs=args.epochs if args.epochs is not None else 9,
+        max_len=args.max_len or 200)
+    logger = JsonlLogger(args.log_dir or "result_logs", "embed")
+    init_params = None
+    if args.hf_encoder:
+        import jax
+
+        from carel_tpu.models.encoder import TransformerEncoder
+
+        probe = tok.encode_batch(["init"], 8)
+        init_params = TransformerEncoder(enc).init(
+            {"params": jax.random.key(0)}, probe.input_ids,
+            probe.attention_mask, None, deterministic=True)["params"]
+        if os.path.exists(os.path.join(args.hf_encoder, "config.json")):
+            from carel_tpu.models.hf_port import port_hf_encoder
+
+            init_params = port_hf_encoder(args.hf_encoder, enc)
+        else:
+            from carel_tpu.pretrain import load_encoder
+
+            init_params = load_encoder(args.hf_encoder, init_params)
+    params = train_domain_embedder(ecfg, enc, tok, texts, labels,
+                                   init_params=init_params, logger=logger)
+    out = save_encoder(args.out, params)
+    emb_path = ""
+    if args.dump_embeddings:
+        import numpy as np
+
+        embedder = EncoderEmbedder(enc, params, tok, max_len=ecfg.max_len)
+        emb_path = save_embeddings(args.dump_embeddings, embedder(texts),
+                                   np.asarray(labels))
+    print(json.dumps({"encoder_ckpt": out, "texts": len(texts),
+                      "embeddings": emb_path}))
+    return 0
+
+
 def cmd_cit(args) -> int:
     """CIT triple classifier chained onto pair-inference outputs
     (mc_classifier.py:442-547): gold triples with KNN negatives from the
@@ -861,6 +941,22 @@ def build_parser() -> argparse.ArgumentParser:
     p_pair.add_argument("--self_chain", action="store_true",
                         help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
+
+    p_emb = sub.add_parser(
+        "embed", help="contrastive domain-embedder fine-tuning "
+                      "(sentence-transformer scripts)")
+    _add_common(p_emb)
+    p_emb.add_argument("--files", required=True, nargs="+",
+                       help="ECPE domain files; each file = one domain label")
+    p_emb.add_argument("--level", default="doc", choices=["doc", "clause"],
+                       help="doc = chi/en_sentence_transformer, clause = "
+                            "the _ec_ variants")
+    p_emb.add_argument("--out", required=True,
+                       help="orbax output dir for the fine-tuned encoder")
+    p_emb.add_argument("--dump_embeddings", default="",
+                       help="optional .npz path for the corpus embeddings")
+    p_emb.add_argument("--max_texts", type=int, default=0)
+    p_emb.set_defaults(fn=cmd_embed)
 
     p_cit = sub.add_parser(
         "cit", help="CIT triple classifier over pair-inference outputs "

@@ -61,3 +61,27 @@ def test_embeddings_npz_roundtrip(tmp_path):
     e2, l2 = load_embeddings(path)
     np.testing.assert_array_equal(e2, emb)
     np.testing.assert_array_equal(l2, labels)
+
+
+@requires_reference_data
+def test_embed_cli(capsys, tmp_path):
+    """Domain-embedder fine-tune + embedding dump (sentence-transformer
+    scripts equivalent)."""
+    import numpy as np
+
+    rc, out = run_cli(capsys, [
+        "embed", "--cpu",
+        "--files",
+        os.path.join(REFERENCE_ROOT, "data/ECPE_new_dataset/home.txt"),
+        os.path.join(REFERENCE_ROOT, "data/ECPE_new_dataset/lottery.txt"),
+        "--level", "doc", "--encoder", "tiny", "--epochs", "1",
+        "--batch_size", "8", "--max_len", "48", "--max_texts", "24",
+        "--out", str(tmp_path / "enc"),
+        "--dump_embeddings", str(tmp_path / "embs.npz"),
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs")])
+    assert rc == 0
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["texts"] == 24
+    d = np.load(tmp_path / "embs.npz")
+    assert d["embeddings"].shape[0] == 24

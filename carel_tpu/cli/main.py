@@ -697,6 +697,23 @@ def cmd_pretrain(args) -> int:
             texts.extend(c.text for c in d.clauses)
     if cfg.data.language == "zh":
         texts = [t.strip().replace(" ", "") for t in texts]
+    # raw (non-ECPE) text corpora — e.g. data/amazon review files — split into
+    # clause-sized sentence segments. The reference's encoders are pretrained
+    # on web-scale raw text (flagship :63-71); in this no-egress environment
+    # every local byte of in-language text is pretraining signal.
+    import re as _re
+    splitter = r"[。！？；]" if cfg.data.language == "zh" else r"[.!?;]\s+"
+    for rp in (args.raw_corpus or []):
+        with open(rp, errors="ignore") as f:
+            for line in f:
+                for seg in _re.split(splitter, line):
+                    seg = seg.strip()
+                    if cfg.data.language == "zh":
+                        seg = seg.replace(" ", "")
+                        if len(seg) >= 4:
+                            texts.append(seg)
+                    elif len(seg.split()) >= 3:
+                        texts.append(seg)
     os.makedirs(args.cache_dir, exist_ok=True)
     tok = build_tokenizer(
         cfg.data.language, texts,
@@ -705,6 +722,7 @@ def cmd_pretrain(args) -> int:
     enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     logger = JsonlLogger(cfg.train.log_dir, "pretrain")
     logger.log({"event": "pretrain_config", "corpus": corpus_paths,
+                "raw_corpus": list(args.raw_corpus or []),
                 "clauses": len(texts), "vocab": tok.vocab_size,
                 "steps": args.steps})
     mlm_cfg = MlmConfig(batch_size=args.mlm_batch, seq_len=args.seq_len,
@@ -988,6 +1006,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_pre2.add_argument("--corpus", default="", nargs="*",
                         help="ECPE corpus paths (default: the preset's bow "
                              "corpus)")
+    p_pre2.add_argument("--raw_corpus", default="", nargs="*",
+                        help="plain-text corpus paths, split into sentence "
+                             "segments (e.g. data/amazon reviews)")
     p_pre2.add_argument("--scan_size", type=int, default=50)
     p_pre2.add_argument("--out", required=True,
                         help="orbax output dir for the encoder params")

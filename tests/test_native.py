@@ -53,17 +53,23 @@ def test_native_truncation_matches(mod, tok):
 
 
 def test_native_is_faster(mod, tok):
+    # best-of-3 each side: a single timing pair is flaky when the host is
+    # loaded (e.g. a concurrent pretraining job's jieba/tokenizer prep)
     texts = ["他很难过因为天气变冷了[SEP]她笑了收到礼物了"] * 2000
 
-    t0 = time.perf_counter()
-    native_encode_batch(tok, texts, 128)
-    t_native = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    _python_encode(tok, texts, 128)
-    t_python = time.perf_counter() - t0
+    t_native = min(
+        _timed(lambda: native_encode_batch(tok, texts, 128))
+        for _ in range(3))
+    t_python = min(
+        _timed(lambda: _python_encode(tok, texts, 128)) for _ in range(3))
 
     assert t_native < t_python, (t_native, t_python)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def test_tokenizer_dispatches_to_native(mod, tok):

@@ -701,19 +701,9 @@ def cmd_pretrain(args) -> int:
     # clause-sized sentence segments. The reference's encoders are pretrained
     # on web-scale raw text (flagship :63-71); in this no-egress environment
     # every local byte of in-language text is pretraining signal.
-    import re as _re
-    splitter = r"[。！？；]" if cfg.data.language == "zh" else r"[.!?;]\s+"
+    from carel_tpu.data.ecpe_format import split_raw_corpus
     for rp in (args.raw_corpus or []):
-        with open(rp, errors="ignore") as f:
-            for line in f:
-                for seg in _re.split(splitter, line):
-                    seg = seg.strip()
-                    if cfg.data.language == "zh":
-                        seg = seg.replace(" ", "")
-                        if len(seg) >= 4:
-                            texts.append(seg)
-                    elif len(seg.split()) >= 3:
-                        texts.append(seg)
+        texts.extend(split_raw_corpus(rp, cfg.data.language))
     os.makedirs(args.cache_dir, exist_ok=True)
     tok = build_tokenizer(
         cfg.data.language, texts,

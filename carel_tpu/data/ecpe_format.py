@@ -180,3 +180,27 @@ def write_ecpe_file(
                 emo = cl.emotion_raw if cl.emotion_raw else str(cl.emotion)
                 cau = cl.cause_raw if cl.cause_raw else str(cl.cause)
                 g.write(f"{cl.sen_id}, {emo}, {cau}, {cl.text}\n")
+
+
+def split_raw_corpus(path: str, language: str) -> List[str]:
+    """Split a plain-text (non-ECPE) file into clause-sized sentence segments.
+
+    Pretraining fodder for the no-egress environment (the reference's encoders
+    arrive pretrained on web-scale raw text, flagship :63-71): zh splits on
+    CJK sentence punctuation and strips spaces; en splits on [.!?;] followed
+    by whitespace. Fragments shorter than a clause are dropped.
+    """
+    zh = language == "zh"
+    splitter = r"[。！？；]" if zh else r"[.!?;]\s+"
+    out: List[str] = []
+    with open(path, errors="ignore") as f:
+        for line in f:
+            for seg in re.split(splitter, line):
+                seg = seg.strip()
+                if zh:
+                    seg = seg.replace(" ", "")
+                    if len(seg) >= 4:
+                        out.append(seg)
+                elif len(seg.split()) >= 3:
+                    out.append(seg)
+    return out

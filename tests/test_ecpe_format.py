@@ -117,3 +117,26 @@ def test_parse_predicted_emotion_file():
     assert len(docs) > 10
     # stage-1 outputs carry numeric emotions and -1 causes
     assert any(c.cause == -1 for c in docs[0].clauses)
+
+
+def test_split_raw_corpus_en(tmp_path):
+    from carel_tpu.data.ecpe_format import split_raw_corpus
+    p = tmp_path / "raw.txt"
+    p.write_text(" A very good book. Loved it!  Would read again and again. "
+                 "No.\nSecond line here; with two segments.\n")
+    segs = split_raw_corpus(str(p), "en")
+    assert "A very good book" in segs
+    assert "Would read again and again" in segs
+    assert "Second line here" in segs
+    # fragments under 3 words are dropped ("Loved it!", "No.")
+    assert all(len(s.split()) >= 3 for s in segs)
+
+
+def test_split_raw_corpus_zh(tmp_path):
+    from carel_tpu.data.ecpe_format import split_raw_corpus
+    p = tmp_path / "raw.txt"
+    p.write_text("今天 天气 很好。我们 去 公园 散步！短。\n")
+    segs = split_raw_corpus(str(p), "zh")
+    assert "今天天气很好" in segs          # spaces stripped (zh convention)
+    assert "我们去公园散步" in segs
+    assert all(len(s) >= 4 for s in segs)  # "短" dropped

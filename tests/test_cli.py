@@ -85,3 +85,35 @@ def test_embed_cli(capsys, tmp_path):
     assert res["texts"] == 24
     d = np.load(tmp_path / "embs.npz")
     assert d["embeddings"].shape[0] == 24
+
+
+@requires_reference_data
+def test_pretrain_then_train_chain(capsys, tmp_path):
+    """CLI contract of the no-egress bootstrap: pretrain writes an orbax
+    encoder dir that train consumes via --hf_encoder (the recipe behind every
+    quality number in RESULTS.md)."""
+    enc_dir = str(tmp_path / "enc")
+    rc, out = run_cli(capsys, [
+        "pretrain", "--cpu", "--preset", "ec_mmd_final_mul_newsplit_emnlp",
+        "--data_root", REFERENCE_ROOT,
+        "--corpus", os.path.join(REFERENCE_ROOT,
+                                 "data/ECPE_new_dataset/lottery.txt"),
+        "--encoder", "tiny", "--steps", "4", "--scan_size", "2",
+        "--mlm_batch", "8", "--seq_len", "32", "--whole_word",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"), "--out", enc_dir])
+    assert rc == 0
+    assert json.loads(out.strip().splitlines()[-1])["encoder_ckpt"] == enc_dir
+
+    rc, out = run_cli(capsys, [
+        "train", "--cpu", "--preset", "ec_mmd_final_mul_newsplit_emnlp",
+        "--data_root", REFERENCE_ROOT, "--encoder", "tiny",
+        "--hf_encoder", enc_dir, "--epochs", "1",
+        "--self_iteration", "0", "--max_train_docs", "12",
+        "--max_test_docs", "12",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    res = json.loads(out.strip().splitlines()[-1])
+    assert "best_f1" in res and res["best_f1"] >= 0

@@ -718,6 +718,7 @@ def cmd_pretrain(args) -> int:
     mlm_cfg = MlmConfig(batch_size=args.mlm_batch, seq_len=args.seq_len,
                         steps=args.steps, learning_rate=args.mlm_lr,
                         seed=cfg.train.seed, scan_size=args.scan_size,
+                        mask_prob=args.mask_prob,
                         whole_word=args.whole_word,
                         language=cfg.data.language,
                         lr_decay=args.lr_decay,
@@ -1006,6 +1007,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_pre2.add_argument("--seq_len", type=int, default=64)
     p_pre2.add_argument("--mlm_batch", type=int, default=256)
     p_pre2.add_argument("--mlm_lr", type=float, default=1e-4)
+    p_pre2.add_argument("--mask_prob", type=float, default=0.15,
+                        help="MLM masking ratio (0.3 trains faster at this "
+                             "scale — MosaicBERT, arXiv:2312.17482)")
     p_pre2.add_argument("--whole_word", action="store_true",
                         help="whole-word masking (jieba words for zh, "
                              "WordPiece words for en) — the wwm-ext recipe")

@@ -45,7 +45,7 @@ en_mlm)  # English MLM: ECPE+RECCON corpus + amazon raw text, WordPiece WWM
       /root/reference/data/amazon/Electronics/Electronicstest.txt \
       /root/reference/data/amazon/Kitchen/Kitchentrain.txt \
       /root/reference/data/amazon/Kitchen/Kitchentest.txt \
-    --steps 80000 --whole_word --lr_decay --warmup_steps 4000 \
+    --steps 80000 --whole_word --mask_prob 0.3 --lr_decay --warmup_steps 4000 \
     --save_every 20000 --cache_dir runs/cache_en --log_dir runs/logs \
     --out runs/enc_en_wwm_80k ;;
 

@@ -49,6 +49,12 @@ en_mlm)  # English MLM: ECPE+RECCON corpus + amazon raw text, WordPiece WWM
     --save_every 20000 --cache_dir runs/cache_en --log_dir runs/logs \
     --out runs/enc_en_wwm_80k ;;
 
+zh_quality_tgt)  # slack stage: same recipe, another target domain ($2)
+  exec python -m carel_tpu.cli train --preset ec_mmd_final_mul_newsplit_emnlp \
+    --data_root /root/reference --encoder base --target_domain "${2:?target}" \
+    --hf_encoder runs/enc_zh_wwm_100k --vae_lr 1e-4 --self_iteration 50 \
+    --cache_dir runs/cache --log_dir runs/logs --checkpoint_dir runs/ckpt ;;
+
 en_quality)  # first English quality run: enecpe_num -> reccon_test
   exec python -m carel_tpu.cli train --preset en_newsplit \
     --data_root /root/reference --encoder base \

@@ -41,6 +41,10 @@ def resolve_paths(cfg: CarelConfig) -> Tuple[str, str, str]:
                        else "data/all_data_pair_en.txt")
         return (d.train_file, d.test_file, d.bow_file or j(default_bow))
 
+    # one-sided overrides (e.g. the in-framework stage-1 -> stage-2 chain
+    # keeps the conventional train corpus but tests on self-generated
+    # predicted-emotion files) fall through to the convention for the
+    # unspecified side, then substitute at the end.
     if d.language == "zh":
         train_dir = "data/ECPE_new_dataset" if d.newsplit else "domains/THUCTC_multiple"
         train_path = j(train_dir, f"{d.source_domain}.txt")
@@ -67,7 +71,7 @@ def resolve_paths(cfg: CarelConfig) -> Tuple[str, str, str]:
         default_bow = ("data/ecpe_and_reccon_all_data_pair_en.txt"
                        if d.newsplit else "data/all_data_pair_en.txt")
         bow_path = d.bow_file or j(default_bow)
-    return train_path, test_path, bow_path
+    return (d.train_file or train_path, d.test_file or test_path, bow_path)
 
 
 @dataclass

@@ -136,3 +136,29 @@ def test_reference_predicted_emotion_test_pairs():
     assert len(ps.examples) > 100
     assert ps.num_unpred_emotions >= 0
     assert sum(ps.docs_pair_size) == len(ps.examples)
+
+
+def test_resolve_paths_one_sided_override():
+    """--test_file alone must override the convention (the stage-1 ->
+    stage-2 chain tests on self-generated files while training on the
+    conventional corpus)."""
+    import dataclasses
+
+    from carel_tpu.config import PRESETS
+    from carel_tpu.pipeline import resolve_paths
+
+    cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, data_root="/r",
+                                      test_file="/mine/education.txt"))
+    tr, te, bow = resolve_paths(cfg)
+    assert te == "/mine/education.txt"
+    assert tr == "/r/data/ECPE_new_dataset/home.txt"
+
+    base = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    cfg2 = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, data_root="/r",
+                                       train_file="/mine/home.txt"))
+    tr2, te2, _ = resolve_paths(cfg2)
+    assert tr2 == "/mine/home.txt"
+    assert te2.endswith("pair_data/predicted_emotion/source_home/education.txt")

@@ -86,6 +86,13 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
             kw[f] = v
     if args.vae_lr is not None:
         kw["vae_lr"] = args.vae_lr
+    if getattr(args, "seed", None) is not None:
+        # one seed drives everything: ingest negative-sampling, init, and the
+        # train/self-train PRNG chains (SURVEY §5: the reference leaves torch
+        # unseeded and its numbers are distributions; here runs are exactly
+        # reproducible per seed, so report mean±std over --seed values)
+        data = dataclasses.replace(data, seed=args.seed)
+        kw["seed"] = args.seed
     if getattr(args, "mesh_shape", ""):
         parts = [int(x) for x in args.mesh_shape.split(",")]
         if len(parts) != 2:
@@ -120,6 +127,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="explicit train-corpus path (overrides conventions)")
     p.add_argument("--test_file", default="")
     p.add_argument("--max_len", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override the data/train seed (default 42)")
     p.add_argument("--regularizer", default="",
                    choices=["", "none", "mmd", "hsic", "gan", "vi"])
     p.add_argument("--mmd_loss_weight", type=float, default=None)

@@ -58,7 +58,18 @@ zh_quality_tgt)  # slack stage: same recipe, another target domain ($2)
 en_quality)  # first English quality run: enecpe_num -> reccon_test
   exec python -m carel_tpu.cli train --preset en_newsplit \
     --data_root /root/reference --encoder base \
-    --hf_encoder runs/enc_en_wwm_80k --vae_lr 1e-4 --self_iteration 50 \
+    --hf_encoder "${2:-runs/enc_en_wwm_70k}" --vae_lr 1e-4 --self_iteration 50 \
     --self_strategy temporal_order_modification \
     --cache_dir runs/cache_en --log_dir runs/logs --checkpoint_dir runs/ckpt ;;
+
+infer_cit)  # full inference -> CIT chain on a trained checkpoint ($2=model_id)
+  python -m carel_tpu.cli infer --preset ec_mmd_final_mul_newsplit_emnlp \
+    --data_root /root/reference --encoder base --model_id "${2:?model_id}" \
+    --hf_encoder runs/enc_zh_wwm_100k \
+    --checkpoint_dir runs/ckpt --cache_dir runs/cache --log_dir runs/logs \
+    --output_dir runs/pair_data/ec_pair
+  exec python -m carel_tpu.cli cit \
+    --pred_pkl "runs/pair_data/ec_pair/${2}_pred.pkl" \
+    --true_pkl "runs/pair_data/ec_pair/${2}_true.pkl" \
+    --cache_dir runs/cache --log_dir runs/logs ;;
 esac

@@ -79,12 +79,18 @@ class DocEmotionModel(nn.Module):
         final = nn.Dense(self.n_class, name="nnlayer_pos")
         logits = final(s)
         pred = jax.nn.softmax(logits, axis=-1)
-        # L2 reg on the final layer's weight and bias norms (devin :327)
+        # L2 reg on the final layer's weight and bias norms (devin :327).
+        # eps inside the sqrt: d||x||/dx at x=0 is 0/0 = NaN, and flax (unlike
+        # torch Linear) initializes the bias to exactly zero — a bare
+        # jnp.linalg.norm NaNs every param on the first backward pass.
+        def safe_norm(x):
+            return jnp.sqrt(jnp.sum(jnp.square(x)) + 1e-12)
+
         w = self.variables["params"]["nnlayer_pos"]["kernel"] \
             if "params" in self.variables else None
         if w is not None:
             b = self.variables["params"]["nnlayer_pos"]["bias"]
-            reg = jnp.linalg.norm(w) + jnp.linalg.norm(b)
+            reg = safe_norm(w) + safe_norm(b)
         else:  # during init
             reg = jnp.asarray(0.0)
         return pred, reg

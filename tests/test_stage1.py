@@ -9,6 +9,7 @@ from carel_tpu.data.ecpe_format import parse_ecpe_file, parse_ecpe_text
 from carel_tpu.data.tokenizer import ZhCharTokenizer
 from carel_tpu.models.encoder import tiny_encoder_config
 from carel_tpu.stage1 import build_doc_arrays, write_pair_data
+from carel_tpu.models.stage1 import DocEmotionModel
 from carel_tpu.stage1.trainer import Stage1Config, train_stage1
 from tests.conftest import REFERENCE_ROOT, requires_reference_data
 
@@ -102,3 +103,33 @@ def test_doc_arrays_on_reference_corpus():
     # every document has at least one labeled clause within doc_len
     for i in range(20):
         assert arr.y_emotion[i, : arr.doc_len[i]].sum() > 0
+
+
+def test_stage1_first_step_finite(tok):
+    """Regression: flax inits the final-layer bias to exactly zero, and the
+    L2-norm regularizer's gradient at 0 is NaN unless eps-guarded — this
+    NaN'd every stage-1 run on the first backward pass (models/stage1.py
+    safe_norm)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from carel_tpu.stage1.trainer import _batch_dict, make_stage1_step
+
+    docs = parse_ecpe_text(SAMPLE)
+    arr = build_doc_arrays(docs, tok, max_doc_len=4, max_sen_len=8)
+    cfg = Stage1Config(fresh_adam=False, batch_size=2)
+    enc = tiny_encoder_config(vocab_size=tok.vocab_size)
+    model = DocEmotionModel(enc, cfg.n_hidden, cfg.n_class,
+                            cfg.keep_softmax, cfg.clause_mixer)
+    rng = jax.random.key(0)
+    b = _batch_dict(arr, np.arange(2))
+    params = model.init({"params": rng, "dropout": rng}, b["x_ids"],
+                        b["x_masks"], b["x_types"],
+                        deterministic=False)["params"]
+    tx = optax.adam(cfg.learning_rate)
+    step = make_stage1_step(cfg, model, tx)
+    params, _, loss = step(params, tx.init(params), b, rng)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(params))

@@ -100,6 +100,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["mesh_shape"] = tuple(parts)
     if args.self_strategy:
         kw["self_strategy"] = SelfStrategy(args.self_strategy)
+    if getattr(args, "self_conf_margin", None):
+        kw["self_conf_margin"] = args.self_conf_margin
     if args.debug_nans:
         kw["debug_nans"] = True
     if args.profile_dir:
@@ -129,6 +131,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_len", type=int, default=0)
     p.add_argument("--seed", type=int, default=None,
                    help="override the data/train seed (default 42)")
+    p.add_argument("--self_conf_margin", type=float, default=0.0,
+                   help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
+                        "margin (0 = reference-exact self-training)")
     p.add_argument("--regularizer", default="",
                    choices=["", "none", "mmd", "hsic", "gan", "vi"])
     p.add_argument("--mmd_loss_weight", type=float, default=None)

@@ -176,6 +176,9 @@ class TrainConfig:
     self_epochs: int = 10
     self_strategy: SelfStrategy = SelfStrategy.RANDOM
     round_up: bool = True  # newsplit :70
+    # beyond-reference: drop a doc's pseudo-pair unless raw P(pos) - P(neg)
+    # >= this margin (0.0 = reference-exact; see selftrain/strategies.py)
+    self_conf_margin: float = 0.0
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

@@ -55,7 +55,8 @@ def self_train(
                        num_unpred_pairs, sub, cfg.train.eval_batch_size, mesh)
         pseudo = generate_self_train_pairs(
             test_pairs, res.probs, cfg.train.self_strategy,
-            iteration=i, round_up=cfg.train.round_up, rng=rng)
+            iteration=i, round_up=cfg.train.round_up, rng=rng,
+            conf_margin=cfg.train.self_conf_margin)
         if len(pseudo) == 0:
             logger.log({"event": "selftrain_empty", "iteration": i + 1})
             continue

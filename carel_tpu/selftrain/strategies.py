@@ -36,12 +36,19 @@ def generate_self_train_pairs(
     iteration: int = 0,
     round_up: bool = True,
     rng: Optional[np.random.Generator] = None,
+    conf_margin: float = 0.0,
 ) -> PairSet:
     """Build the pseudo-labelled pair set from per-pair probabilities.
 
     `probs` is the model's sigmoid output over test_pairs (rounded 0/1 when
     round_up, except temporal_order_modification iteration 0 which always
     ranks raw probabilities, newsplit :966-976).
+
+    conf_margin > 0 (beyond the reference) drops a document's pseudo-pair
+    unless raw P(pos) - P(neg) >= conf_margin: low-separation documents are
+    exactly where the deterministic pseudo-label loop locks in wrong labels
+    (RESULTS.md round 2: education saturates at 0.57 while entertainment,
+    whose rankings separate cleanly, reaches 0.785). 0.0 = reference-exact.
     """
     rng = rng or np.random.default_rng(0)
     probs = np.asarray(probs, np.float64)
@@ -95,6 +102,9 @@ def generate_self_train_pairs(
         else:
             raise ValueError(f"unknown strategy {strategy}")
 
+        if (pos_i is not None and neg_i is not None and conf_margin > 0.0
+                and probs[pos_i] - probs[neg_i] < conf_margin):
+            pos_i = neg_i = None
         if pos_i is not None and neg_i is not None:
             src_p = test_pairs.examples[pos_i]
             src_n = test_pairs.examples[neg_i]

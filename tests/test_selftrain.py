@@ -88,3 +88,26 @@ def test_zero_size_docs_skipped():
                                     round_up=False)
     assert len(out) == 2
     assert out.docs_pair_size == [2]
+
+
+def test_conf_margin_filters_low_separation_docs():
+    """conf_margin drops documents whose top ranking barely separates from
+    the sampled negative; 0.0 preserves reference-exact behavior."""
+    import numpy as np
+
+    from carel_tpu.config import SelfStrategy
+    from carel_tpu.selftrain.strategies import generate_self_train_pairs
+
+    pairs = _pairs([4, 4])  # two docs, 4 candidate pairs each
+    # doc 0: clean separation; doc 1: all probabilities nearly equal
+    probs = np.array([0.95, 0.2, 0.1, 0.05, 0.51, 0.50, 0.50, 0.49])
+    base = generate_self_train_pairs(
+        pairs, probs, SelfStrategy.EXTREME, round_up=False,
+        rng=np.random.default_rng(0))
+    assert len(base.docs_pair_size) == 2  # both docs emit (pos, neg)
+
+    filt = generate_self_train_pairs(
+        pairs, probs, SelfStrategy.EXTREME, round_up=False,
+        rng=np.random.default_rng(0), conf_margin=0.3)
+    assert len(filt.docs_pair_size) == 1  # doc 1 dropped
+    assert filt.examples[0].pair == pairs.examples[0].pair  # doc 0's top

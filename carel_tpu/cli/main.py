@@ -102,6 +102,10 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_strategy"] = SelfStrategy(args.self_strategy)
     if getattr(args, "self_conf_margin", None):
         kw["self_conf_margin"] = args.self_conf_margin
+    if getattr(args, "no_round_up", False):
+        kw["round_up"] = False
+    elif getattr(args, "round_up", False):
+        kw["round_up"] = True
     if args.debug_nans:
         kw["debug_nans"] = True
     if args.profile_dir:
@@ -118,6 +122,13 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
                                train=train)
 
 
+def _nonneg_float(value: str) -> float:
+    v = float(value)
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0, got {value}")
+    return v
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default="ec_mmd_final_mul_newsplit_emnlp",
                    choices=sorted(PRESETS))
@@ -131,9 +142,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_len", type=int, default=0)
     p.add_argument("--seed", type=int, default=None,
                    help="override the data/train seed (default 42)")
-    p.add_argument("--self_conf_margin", type=float, default=0.0,
+    p.add_argument("--self_conf_margin", type=_nonneg_float, default=0.0,
                    help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
                         "margin (0 = reference-exact self-training)")
+    p.add_argument("--round_up", action="store_true",
+                   help="rank rounded 0/1 predictions in self-training "
+                        "(the reference default; newsplit :70)")
+    p.add_argument("--no_round_up", action="store_true",
+                   help="rank raw probabilities in self-training "
+                        "(reference --round_up false)")
     p.add_argument("--regularizer", default="",
                    choices=["", "none", "mmd", "hsic", "gan", "vi"])
     p.add_argument("--mmd_loss_weight", type=float, default=None)
@@ -306,7 +323,16 @@ def cmd_train(args) -> int:
                 logger.log({"event": "memorization_plot", "path": png})
         logger.log({"event": "self_done", "p": sbest[0], "r": sbest[1],
                     "f1": sbest[2]})
-        final_best = sbest
+        # fall back to the base model's metrics when self-training never
+        # produced a non-empty pseudo set (e.g. a large --self_conf_margin
+        # starved every iteration): sbest stays at the (0,0,0) sentinel the
+        # reference's self_metrics zero-init would also report, but printing
+        # best_f1=0.0 over a good base model is a reporting footgun (ADVICE r2)
+        if sbest[2] > 0.0:
+            final_best = sbest
+        else:
+            logger.log({"event": "selftrain_no_improvement",
+                        "fallback": "base", "base_f1": best[2]})
     # best_f1 is the run's headline (self-training best when enabled, the
     # reference's reported number); base_f1 is the pre-self-training best
     print(json.dumps({"model_id": pipe.model_id, "best_f1": final_best[2],

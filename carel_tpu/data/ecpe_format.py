@@ -193,7 +193,7 @@ def split_raw_corpus(path: str, language: str) -> List[str]:
     zh = language == "zh"
     splitter = r"[。！？；]" if zh else r"[.!?;]\s+"
     out: List[str] = []
-    with open(path, errors="ignore") as f:
+    with open(path, encoding="utf-8", errors="ignore") as f:
         for line in f:
             for seg in re.split(splitter, line):
                 seg = seg.strip()

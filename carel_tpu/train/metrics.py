@@ -9,7 +9,7 @@ pair-F1 accounts for stage-1 recall loss.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@
 #     --out runs/enc_zh_wwm_100k
 set -euo pipefail
 cd /root/repo
-STAGE=${1:?usage: round2_quality.sh {zh_quality|zh_chain_stage1|zh_chain_stage2|en_mlm|en_quality}}
+STAGE=${1:?usage: round2_quality.sh {zh_quality|zh_chain_stage1|zh_chain_stage2|zh_quality_tgt|en_mlm|en_quality|infer_cit}}
 
 case "$STAGE" in
 zh_quality)  # flagship home->education, WWM-100k encoder, reference schedule
@@ -72,4 +72,6 @@ infer_cit)  # full inference -> CIT chain on a trained checkpoint ($2=model_id)
     --pred_pkl "runs/pair_data/ec_pair/${2}_pred.pkl" \
     --true_pkl "runs/pair_data/ec_pair/${2}_true.pkl" \
     --cache_dir runs/cache --log_dir runs/logs ;;
+
+*) echo "unknown stage: $STAGE" >&2; exit 2 ;;
 esac

@@ -18,15 +18,14 @@ only trustworthy synchronization is fetching a VALUE computed by the step
 chain. This bench times N chained steps ending in a float() fetch, and
 reports the best of 3 rounds (transient tunnel contention can halve a round).
 
-vs_baseline (MEASURED, not estimated): the same workload is run in-process as
-the reference would run it — eager PyTorch, randomly initialized
-`transformers` BERT-base, batch 64 x seq 128, the flagship's loss stack, and
-`torch.autograd.set_detect_anomaly(True)` exactly like its train loop
-(flagship :837) — on this host's CPU (the only torch device available here;
-torch is CPU-only in this image). vs_baseline = ours / that measurement.
-The historical single-A100 envelope (~800 pairs/s for this configuration) is
-reported in details for context; per-chip we are ~1.6x that envelope at this
-operating point.
+vs_baseline: the HONEST comparator — the single-A100 envelope the reference
+actually trained on (~800 pairs/s for this configuration; job_group_devin.sh
+ran 1x A100). A torch-CPU measurement of the same workload (eager, randomly
+initialized `transformers` BERT-base, b64 x s128, the flagship's loss stack,
+`torch.autograd.set_detect_anomaly(True)` like its train loop, flagship
+:837) is also taken on this host — torch is CPU-only in this image — and
+reported in details as torch_cpu_ratio; it is NOT the headline because a
+~2600x CPU ratio says nothing about accelerator parity (VERDICT r2 weak #4).
 
 Also reported: analytic model FLOPs/step and MFU against the v5e chip's
 197 TFLOP/s bf16 peak.
@@ -213,34 +212,32 @@ def main() -> None:
     flops = _train_flops_per_step(B, L)
     tflops_per_sec = flops / (best_dt / n_steps) / 1e12
 
-    # the reference, measured on the only torch device in this image
+    # the torch reference measured on the only torch device in this image
+    # (context only — the honest headline comparator is the A100 envelope)
     try:
         ref = measure_torch_reference()
-        ref_pps = ref["torch_cpu_pairs_per_sec"]
-        baseline_kind = "torch-cpu-measured"
+        ref["torch_cpu_ratio"] = round(
+            pairs_per_sec / ref["torch_cpu_pairs_per_sec"], 2)
     except Exception as e:  # torch/transformers missing or broken
-        ref = {"error": str(e)[:120]}
-        ref_pps = A100_ENVELOPE_PAIRS_PER_SEC
-        baseline_kind = "a100-envelope-fallback"
+        ref = {"torch_cpu_error": str(e)[:120]}
 
     print(json.dumps({
         "metric": ("ECPE train pairs/sec/chip (flagship MMD step, bf16, "
                    f"b{B}xs{L} zero-truncation window, value-fetch timed; "
-                   "vs_baseline = measured eager-torch reference step, "
-                   "anomaly detection ON, b64xs128, this host)"),
+                   "vs_baseline = single-A100 reference envelope, the "
+                   "hardware the reference trained on)"),
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
-        "vs_baseline": round(pairs_per_sec / ref_pps, 2),
+        "vs_baseline": round(
+            pairs_per_sec / A100_ENVELOPE_PAIRS_PER_SEC, 2),
         "details": {
             "ms_per_step": round(ms_step, 1),
             "model_tflops_per_sec": round(tflops_per_sec, 1),
             "mfu_pct_of_v5e_bf16_peak": round(
                 100 * tflops_per_sec / V5E_BF16_PEAK_TFLOPS, 1),
-            "baseline_kind": baseline_kind,
-            **ref,
+            "baseline_kind": "a100-envelope",
             "a100_envelope_pairs_per_sec": A100_ENVELOPE_PAIRS_PER_SEC,
-            "vs_a100_envelope": round(
-                pairs_per_sec / A100_ENVELOPE_PAIRS_PER_SEC, 2),
+            **ref,
         },
     }))
 

@@ -60,6 +60,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         data = dataclasses.replace(data, target_domain=args.target_domain)
     if args.max_len:
         data = dataclasses.replace(data, max_len=args.max_len)
+    if getattr(args, "self_chain", False):
+        data = dataclasses.replace(data, self_chain=True)
     if getattr(args, "train_file", ""):
         data = dataclasses.replace(data, train_file=args.train_file)
     if getattr(args, "test_file", ""):
@@ -145,6 +147,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--self_conf_margin", type=_nonneg_float, default=0.0,
                    help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
                         "margin (0 = reference-exact self-training)")
+    p.add_argument("--self_chain", action="store_true",
+                   help="self-chain pair construction (read_ECPE_self_chain_"
+                        "data: test keeps only emotion==cause docs; see "
+                        "preset ec_mmd_self_chain)")
     p.add_argument("--round_up", action="store_true",
                    help="rank rounded 0/1 predictions in self-training "
                         "(the reference default; newsplit :70)")
@@ -308,8 +314,16 @@ def cmd_train(args) -> int:
 
     final_best = best
     if cfg.train.self_iteration > 0:
+        self_step = train_step
+        if cfg.train.scan_epoch and cfg.train.self_conf_margin > 0.0:
+            # margin filtering makes the pseudo-set size vary per iteration;
+            # under scan_epoch every new size is a fresh stacked shape and a
+            # multi-minute remote compile (and one transient compile failure
+            # kills the run). The per-step path compiles once for any size.
+            self_step = make_train_step(cfg, pipe.model,
+                                        ops_impl=args.ops_impl)
         state, sbest = self_train(
-            cfg, state, train_step, eval_step, pipe.test_pairs,
+            cfg, state, self_step, eval_step, pipe.test_pairs,
             pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,
             pipe.model_id, logger=logger, mesh=mesh,
             track_memorization=args.track_memorization)
@@ -337,6 +351,41 @@ def cmd_train(args) -> int:
     # reference's reported number); base_f1 is the pre-self-training best
     print(json.dumps({"model_id": pipe.model_id, "best_f1": final_best[2],
                       "base_f1": best[2]}))
+    return 0
+
+
+def cmd_original(args) -> int:
+    """Original 3-latent DRL trainer end-to-end (drl_classifier.py:802-1041;
+    --bow_loss = drl_classifier_bow_loss.py's learned BoW re-weighting)."""
+    _setup_backend(args)
+    import uuid
+
+    from carel_tpu.train.logging import JsonlLogger
+    from carel_tpu.train.original_driver import run_original
+    from carel_tpu.train.steps_original import OriginalLossConfig
+
+    # old-split zh defaults (drl_classifier.py:995-999: society ->
+    # pair_data/emotion/finance.txt)
+    base = PRESETS["ec_mmd_final_mul"]
+    base = dataclasses.replace(base, data=dataclasses.replace(
+        base.data, source_domain="society", target_domain="finance"))
+    cfg = _apply_overrides(base, args)
+    loss_cfg = OriginalLossConfig(
+        learned_bow_weights=args.bow_loss,
+        con_mul_loss_weight=args.con_mul_loss_weight,
+        pair_mul_loss_weight=args.pair_mul_loss_weight,
+        vae_lr=cfg.train.vae_lr,
+    )
+    enc = _encoder_preset(args.encoder, cfg.data.language)
+    model_id = str(uuid.uuid4())
+    logger = JsonlLogger(cfg.train.log_dir, f"drl_original_{model_id[:8]}")
+    _, base_best, self_best = run_original(
+        cfg, loss_cfg, enc, model_id, cache_dir=args.cache_dir,
+        logger=logger, max_train_docs=args.max_train_docs,
+        max_test_docs=args.max_test_docs)
+    final = self_best if self_best[2] > 0.0 else base_best
+    print(json.dumps({"model_id": model_id, "best_f1": final[2],
+                      "base_f1": base_best[2]}))
     return 0
 
 
@@ -988,12 +1037,26 @@ def build_parser() -> argparse.ArgumentParser:
     p_vis.add_argument("--method", default="pca", choices=["pca", "tsne"])
     p_vis.set_defaults(fn=cmd_vis)
 
+    p_orig = sub.add_parser(
+        "original", help="original 3-latent DRL trainer (drl_classifier.py; "
+                         "--bow_loss = drl_classifier_bow_loss.py)")
+    _add_common(p_orig)
+    p_orig.add_argument("--bow_loss", action="store_true",
+                        help="learned BoW re-weighting (content classifier "
+                             "sigmoid as detached per-word BCE weights)")
+    p_orig.add_argument("--con_mul_loss_weight", type=float, default=3.0,
+                        help="content multitask loss weight "
+                             "(drl_classifier.py:46; sweep axis of the "
+                             "bow_loss variant)")
+    p_orig.add_argument("--pair_mul_loss_weight", type=float, default=30.0,
+                        help="pair loss weight (the weights=[...] sweep at "
+                             "drl_classifier.py:966)")
+    p_orig.set_defaults(fn=cmd_original)
+
     p_pair = sub.add_parser("pair", help="plain (non-VAE) pair classifier")
     _add_common(p_pair)
     p_pair.add_argument("--sentence_pair", action="store_true",
                         help="two-segment encoding (self-chain variant)")
-    p_pair.add_argument("--self_chain", action="store_true",
-                        help="self-chain data reader")
     p_pair.set_defaults(fn=cmd_pair)
 
     p_emb = sub.add_parser(

@@ -160,6 +160,12 @@ class DataConfig:
     # tokenizer: "auto" trains/loads a cached WordPiece from the corpus;
     # may also be a path to an HF tokenizer directory.
     tokenizer: str = "auto"
+    # self-chain variant (drl_classifier_ec_mmd_self_chain.py:932-1010):
+    # pair construction via read_ECPE_self_chain_data — test mode keeps only
+    # documents containing an emotion==cause gold pair, enumerates all
+    # (gold emotion x non-cause) negatives, and has no stage-1 reconciliation
+    # (num_unpred always 0); both sides read domains/THUCTC_multiple files.
+    self_chain: bool = False
     seed: int = 42
 
 
@@ -307,6 +313,22 @@ register_preset(
         data=DataConfig(language="zh", source_domain="society_num",
                         target_domain="education", newsplit=False,
                         bow_optimize=False, predicted_emotion=False),
+    ),
+)
+
+register_preset(
+    "ec_mmd_self_chain",  # drl_classifier_ec_mmd_self_chain.py: ec_mmd +
+    # self-chain-aware reading; society -> entertainment, mmd weight 5,
+    # 10 base epochs, binary emotion labels (:32,:41,:36,:73)
+    _preset(
+        "ec_mmd_self_chain",
+        loss=LossConfig(regularizer=Regularizer.MMD, mmd_loss_weight=5.0),
+        model=ModelConfig(binary_emotion=True),
+        data=DataConfig(language="zh", source_domain="society",
+                        target_domain="entertainment", newsplit=False,
+                        bow_optimize=False, predicted_emotion=False,
+                        self_chain=True),
+        train=TrainConfig(epochs=10),
     ),
 )
 

@@ -21,14 +21,18 @@ def self_chain_doc_ids(docs: Sequence[Document]) -> List[str]:
     """Docs containing an e == c gold pair.
 
     Mirrors the reference's zip over (unique emotions, causes) — NOT over raw
-    pairs (get_self_chain_docs :919-927), quirks included.
+    pairs (get_self_chain_docs :919-927), quirks included: a doc_id is
+    appended once PER matching zip pair, so docs with several e == c pairs
+    appear multiple times (the reader's `in` membership test makes the
+    duplicates harmless, :950).
     """
     out = []
     for doc in docs:
         emotions = list(dict.fromkeys(e for e, _ in doc.pairs))
         causes = [c for _, c in doc.pairs]
-        if any(e == c for e, c in zip(emotions, causes)):
-            out.append(doc.doc_id)
+        for e, c in zip(emotions, causes):
+            if e == c:
+                out.append(doc.doc_id)
     return out
 
 

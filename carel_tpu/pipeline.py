@@ -48,7 +48,11 @@ def resolve_paths(cfg: CarelConfig) -> Tuple[str, str, str]:
     if d.language == "zh":
         train_dir = "data/ECPE_new_dataset" if d.newsplit else "domains/THUCTC_multiple"
         train_path = j(train_dir, f"{d.source_domain}.txt")
-        if d.newsplit:
+        if d.self_chain:
+            # self-chain trainer reads both sides from THUCTC_multiple
+            # (drl_classifier_ec_mmd_self_chain.py:1028-1031)
+            test_path = j("domains/THUCTC_multiple", f"{d.target_domain}.txt")
+        elif d.newsplit:
             if d.predicted_emotion:
                 test_path = j("pair_data/predicted_emotion",
                               f"source_{d.source_domain}",
@@ -125,8 +129,18 @@ def build_pipeline(
 
     rng = random.Random(cfg.data.seed)
     spaced = _spaced_sep(cfg)
-    train_pairs = build_pairs(train_docs, test=False, spaced_sep=spaced, rng=rng)
-    test_pairs = build_pairs(test_docs, test=True, spaced_sep=spaced, rng=rng)
+    if cfg.data.self_chain:
+        from carel_tpu.data.self_chain import build_pairs_self_chain
+
+        train_pairs = build_pairs_self_chain(train_docs, test=False,
+                                             spaced_sep=spaced, rng=rng)
+        test_pairs = build_pairs_self_chain(test_docs, test=True,
+                                            spaced_sep=spaced, rng=rng)
+    else:
+        train_pairs = build_pairs(train_docs, test=False, spaced_sep=spaced,
+                                  rng=rng)
+        test_pairs = build_pairs(test_docs, test=True, spaced_sep=spaced,
+                                 rng=rng)
 
     # BoW vocabulary (bow_util.py semantics)
     if cfg.data.language == "zh":

@@ -244,9 +244,11 @@ def train_stage1(
     # self-training: iterate while the pseudo-labelled set grows
     self_best_f1 = -1.0
     last_size = 0
-    params = best_params
     probs = best_probs
     while True:
+        # each iteration restarts from the best checkpoint (devin :449:
+        # `self_best_model = load_ckp(...)` at the top of the while loop)
+        params = best_params
         pseudo = _self_label(test_arr, probs, cfg.threshold, cfg.top_k)
         size = len(train_arr) + (len(pseudo) if pseudo is not None else 0)
         if size <= last_size or pseudo is None:

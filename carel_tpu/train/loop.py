@@ -71,6 +71,23 @@ def evaluate(
     return EvalResult(p, r, f1, probs)
 
 
+def _dispatch_with_retry(fn, *args, retries: int = 2, logger=None):
+    """Retry transient remote-compile failures (axon tunnel: INTERNAL
+    'response body closed' kills an otherwise-fine 30-minute run). The error
+    surfaces before device execution, so re-invoking recompiles safely."""
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args)
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            transient = "INTERNAL" in str(e) or "remote_compile" in str(e)
+            if attempt == retries or not transient:
+                raise
+            if logger is not None:
+                logger.log({"event": "compile_retry", "attempt": attempt + 1,
+                            "error": str(e)[:160]})
+            time.sleep(5.0 * (attempt + 1))
+
+
 def train_epochs(
     cfg: CarelConfig,
     state: TrainState,
@@ -117,7 +134,8 @@ def train_epochs(
                 from carel_tpu.parallel.sharding import shard_stacked
 
                 stacked = shard_stacked(mesh, stacked)
-            state, losses = train_step(state, stacked, vi_beta)
+            state, losses = _dispatch_with_retry(
+                train_step, state, stacked, vi_beta, logger=logger)
             losses = np.asarray(losses)  # value fetch = true sync
             n_batches = len(losses)
             examples_seen += len(train_arrays)
@@ -168,7 +186,17 @@ def train_epochs(
             logger.log({"event": "state_snapshot", "epoch": epoch,
                         "step": int(state.step)})
 
-    if saved_any:
+    # The reference reloads the best checkpoint UNCONDITIONALLY at the end of
+    # every train() call (flagship :916-917) — also when this call saved
+    # nothing. During self-training this is load-bearing: each iteration's
+    # pseudo-labels are generated from the best-so-far model, not from
+    # whatever state the last fine-tune drifted to. Without it the loop can
+    # collapse and never recover (observed: education f1 0.56 -> 0.11 locked
+    # for 60+ iterations, runs b0c04059/ce9a3323).
+    import os as _os
+
+    if saved_any or _os.path.exists(_os.path.join(
+            _os.path.abspath(cfg.train.checkpoint_dir), f"{model_id}_best")):
         best_params = ckpt.load_best(cfg.train.checkpoint_dir, model_id,
                                      state.params)
         state = state.replace(params=best_params)

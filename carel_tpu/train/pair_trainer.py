@@ -149,8 +149,11 @@ def train_pair_classifier(
                 iteration=i, round_up=True, rng=st_rng)
             if len(pseudo) == 0:
                 continue
+            # each iteration fine-tunes FROM the best model, not the drifted
+            # one: the reference's train() ends with an unconditional best-
+            # checkpoint reload (pair_classifier.py:386)
             params, opt_state, rng, best, best_params = run_epochs(
-                encode(pseudo), params, opt_state, rng,
+                encode(pseudo), best_params, opt_state, rng,
                 cfg.self_epochs, best, best_params)
 
     return best_params, best

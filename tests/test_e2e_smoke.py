@@ -75,6 +75,39 @@ def test_train_eval_selftrain_roundtrip(pipe):
 
 
 @requires_reference_data
+def test_restart_from_best_unconditional(pipe):
+    """Every train() call ends by reloading the best checkpoint — ALSO when
+    the call itself saved nothing (flagship :916-917). Load-bearing for
+    self-training: pseudo-labels must come from the best-so-far model, not a
+    drifted/collapsed state (round-3 fix; education collapsed 0.56 -> 0.11
+    without it)."""
+    import jax.numpy as jnp
+
+    cfg = pipe.cfg
+    state = init_state(pipe)
+    train_step = make_train_step(cfg, pipe.model)
+    eval_step = make_eval_step(cfg, pipe.model)
+
+    # force a best save regardless of F1 (best_f1_so_far < 0)
+    state, _ = train_epochs(
+        cfg, state, train_step, eval_step, pipe.train_arrays,
+        pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id,
+        epochs=1, best_f1_so_far=-1.0)
+    saved = jax.tree_util.tree_leaves(state.params)[0]
+
+    # corrupt the live params, run a 0-epoch call (no save possible):
+    # the unconditional reload must restore the checkpointed value
+    corrupted = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    state = state.replace(params=corrupted)
+    state, _ = train_epochs(
+        cfg, state, train_step, eval_step, pipe.train_arrays,
+        pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id, epochs=0)
+    restored = jax.tree_util.tree_leaves(state.params)[0]
+    assert jnp.allclose(restored, saved), \
+        "train_epochs must reload the best ckpt even when it saved nothing"
+
+
+@requires_reference_data
 def test_resolve_paths_match_reference_layout():
     cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
     cfg = cfg.replace(data=dataclasses.replace(

@@ -102,6 +102,9 @@ class ModelConfig:
     dropout: float = 0.5  # flagship :50
     adapter: AdapterKind = AdapterKind.NONE
     head_number: int = 4  # adapter heads (newsplit :67)
+    # DEAD FLAG, kept for parity: the reference's --confounding is also dead
+    # (newsplit :105-108 only prints it; no code path reads it). Documented
+    # in PARITY.md; do not wire.
     confounding: bool = False  # newsplit :68
     # GAN variant: emotion/cause treated as binary (ec_num_class=1,
     # drl_classifier_ec_gan.py:31); also used by pre-`_final` variants.

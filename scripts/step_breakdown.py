@@ -152,6 +152,20 @@ def main():
 
     results["encoder_fwd_ms"] = _timed(lambda: encoder_fwd(params, key))
 
+    @jax.jit
+    def grads_no_dropout(p, r):
+        def loss_fn(pp):
+            out = fwd(pp, r, deterministic=True)
+            total, _ = vae_and_classifier_loss(cfg, out, batch, 3)
+            return total
+
+        return jax.grad(loss_fn)(p)
+
+    # dropout-mask RNG (threefry over ~[B,L,3072] x 12 layers) is a known
+    # TPU tax; delta vs grads_only isolates it
+    results["grads_no_dropout_ms"] = _timed(
+        lambda: grads_no_dropout(params, key))
+
     eval_step = make_eval_step(cfg, model)
     results["eval_step_ms"] = _timed(lambda: eval_step(params, batch, key))
 
@@ -166,6 +180,8 @@ def main():
             results["fwd_loss_ms"] - results["encoder_fwd_ms"], 2),
         "pallas_delta_ms": round(
             results["full_pallas_ms"] - results["full_xla_ms"], 2),
+        "dropout_rng_ms": round(
+            results["grads_only_ms"] - results["grads_no_dropout_ms"], 2),
     }
     results = {k: (round(v, 2) if isinstance(v, float) else v)
                for k, v in results.items()}

@@ -117,3 +117,48 @@ def test_pretrain_then_train_chain(capsys, tmp_path):
     assert rc == 0
     res = json.loads(out.strip().splitlines()[-1])
     assert "best_f1" in res and res["best_f1"] >= 0
+
+
+@requires_reference_data
+def test_original_drl_chain(capsys, tmp_path):
+    """End-to-end original 3-latent DRL (drl_classifier.py:802-1041): real
+    old-split corpora, six-optimizer step, self-training, best-F1 ckpt."""
+    rc, out = run_cli(capsys, [
+        "original", "--cpu", "--encoder", "tiny",
+        "--data_root", REFERENCE_ROOT,
+        "--epochs", "1", "--self_iteration", "1", "--self_epochs", "1",
+        "--max_train_docs", "8", "--max_test_docs", "8",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    res = json.loads(out.strip().splitlines()[-1])
+    assert "best_f1" in res and res["best_f1"] >= 0
+    # the bow_loss variant (learned BoW re-weighting) through the same verb
+    rc, out = run_cli(capsys, [
+        "original", "--cpu", "--encoder", "tiny", "--bow_loss",
+        "--con_mul_loss_weight", "5", "--data_root", REFERENCE_ROOT,
+        "--epochs", "1", "--self_iteration", "0",
+        "--max_train_docs", "6", "--max_test_docs", "6",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    assert json.loads(out.strip().splitlines()[-1])["best_f1"] >= 0
+
+
+@requires_reference_data
+def test_self_chain_train_chain(capsys, tmp_path):
+    """ec_mmd_self_chain preset: self-chain reader through the full VAE
+    trainer (drl_classifier_ec_mmd_self_chain.py:1028-1072)."""
+    rc, out = run_cli(capsys, [
+        "train", "--preset", "ec_mmd_self_chain", "--cpu",
+        "--encoder", "tiny", "--data_root", REFERENCE_ROOT,
+        "--epochs", "1", "--self_iteration", "1", "--self_epochs", "1",
+        "--max_train_docs", "10", "--max_test_docs", "30",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    res = json.loads(out.strip().splitlines()[-1])
+    assert "best_f1" in res and res["best_f1"] >= 0

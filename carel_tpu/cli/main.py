@@ -1034,7 +1034,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_vis.add_argument("--files", required=True, nargs="+",
                        help="ECPE files; one domain label per file")
     p_vis.add_argument("--out", default="domains.png")
-    p_vis.add_argument("--method", default="pca", choices=["pca", "tsne"])
+    p_vis.add_argument("--method", default="pca",
+                       choices=["pca", "tsne", "lda"],
+                       help="lda = supervised LinearDiscriminant projection "
+                            "by domain (doc_cluster_vis scripts)")
     p_vis.set_defaults(fn=cmd_vis)
 
     p_orig = sub.add_parser(

@@ -22,7 +22,8 @@ def embed_tfidf(texts: Sequence[str], tokenizer=None, max_features: int = 5000
 
 
 def reduce_2d(embeddings: np.ndarray, method: str = "pca",
-              seed: int = 42) -> np.ndarray:
+              seed: int = 42, labels: Optional[Sequence] = None
+              ) -> np.ndarray:
     if method == "pca":
         from sklearn.decomposition import PCA
 
@@ -35,6 +36,20 @@ def reduce_2d(embeddings: np.ndarray, method: str = "pca",
         return TSNE(n_components=2, random_state=seed,
                     perplexity=perplexity, init="pca").fit_transform(
             embeddings)
+    if method == "lda":
+        # supervised Linear Discriminant projection by domain label
+        # (en/chi_doc_cluster_vis.py:19,103-110)
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+
+        if labels is None:
+            raise ValueError("lda reduction needs domain labels")
+        y = np.asarray(labels)
+        n_comp = min(2, len(np.unique(y)) - 1)
+        pts = LinearDiscriminantAnalysis(
+            n_components=n_comp).fit_transform(embeddings, y)
+        if pts.shape[1] == 1:  # 2 domains -> 1 discriminant axis; pad
+            pts = np.concatenate([pts, np.zeros_like(pts)], axis=1)
+        return pts
     raise ValueError(f"unknown reduction {method}")
 
 
@@ -73,5 +88,5 @@ def visualize_domain_shift(
 ) -> str:
     emb = (embedder(texts) if embedder is not None
            else embed_tfidf(texts, tokenizer))
-    pts = reduce_2d(np.asarray(emb), method)
+    pts = reduce_2d(np.asarray(emb), method, labels=labels)
     return plot_domains(pts, labels, out_path)

@@ -299,3 +299,18 @@ def test_step_timer_and_trace(tmp_path):
     # no-op trace context
     with trace(""):
         pass
+
+
+def test_vis_lda_supervised(tmp_path):
+    """LDA (LinearDiscriminant) domain projection, incl. the 2-domain
+    1-component padding case (en/chi_doc_cluster_vis.py:103-110)."""
+    from carel_tpu.tools.vis import visualize_domain_shift
+
+    texts = ["cat sat mat", "dogs bark cats", "stock market rally",
+             "bond yields fall", "goal scored late", "striker shot wide"]
+    labels = ["pets", "pets", "fin", "fin", "sport", "sport"]
+    out = str(tmp_path / "lda.png")
+    assert visualize_domain_shift(texts, labels, out, method="lda") == out
+    out2 = str(tmp_path / "lda2.png")
+    assert visualize_domain_shift(texts[:4], labels[:4], out2,
+                                  method="lda") == out2

@@ -153,7 +153,8 @@ def train_epochs(
             pending = []  # device scalars; fetch every 10 steps so the
             # dispatch chain pipelines (a per-step float() costs ~2x wall)
             for it, batch in enumerate(batches):
-                state, metrics = train_step(state, batch, it, vi_beta)
+                state, metrics = _dispatch_with_retry(
+                    train_step, state, batch, it, vi_beta, logger=logger)
                 pending.append(metrics["loss"])
                 n_batches += 1
                 examples_seen += int(batch["example_mask"].sum())

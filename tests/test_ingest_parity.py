@@ -161,3 +161,28 @@ def test_newsplit_zh_temporal_order_parity():
     path = f"{REF}/pair_data/predicted_emotion/source_home/education.txt"
     ps = build_pairs(parse_ecpe_file(path), test=True)
     _compare(oracle, path, True, ps)
+
+
+ORIGINAL = f"{REF}/drl_classifier.py"
+
+
+@pytest.mark.parametrize("path,test_mode", [
+    (f"{REF}/domains/THUCTC_multiple/society.txt", False),
+    (f"{REF}/pair_data/emotion/finance.txt", True),
+])
+def test_original_reader_parity(path, test_mode):
+    """drl_classifier.py's own read_ECPE_data (:651-749) over the exact
+    train/test files its driver uses (:995-999). Its df has no emotion
+    column (the 3-latent trainer uses all-ones emotion labels), so only
+    pair/label/doc sizes/num_unpred are compared."""
+    oracle = _extract_oracle(ORIGINAL, "zh")
+    random.seed(42)
+    df, docs_pair_size, num_unpred = oracle(path, test=test_mode)
+    ps = build_pairs(parse_ecpe_file(path), test=test_mode,
+                     rng=random.Random(42))
+    assert ps.docs_pair_size == docs_pair_size, path
+    assert ps.num_unpred_emotions == num_unpred, path
+    assert len(ps.examples) == len(df.rows), path
+    for i, (ex, row) in enumerate(zip(ps.examples, df.rows)):
+        assert ex.label == row["label"], (path, i)
+        assert ex.pair == row["pair"], (path, i)

@@ -302,10 +302,11 @@ def cmd_train(args) -> int:
 
         jax.profiler.start_trace(cfg.train.profile_dir)
 
+    best_cache: dict = {}
     state, best = train_epochs(
         cfg, state, train_step, eval_step, pipe.train_arrays,
         pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id,
-        logger=logger, mesh=mesh)
+        logger=logger, mesh=mesh, best_cache=best_cache)
     logger.log({"event": "base_done", "p": best[0], "r": best[1],
                 "f1": best[2]})
 
@@ -326,7 +327,8 @@ def cmd_train(args) -> int:
             cfg, state, self_step, eval_step, pipe.test_pairs,
             pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,
             pipe.model_id, logger=logger, mesh=mesh,
-            track_memorization=args.track_memorization)
+            track_memorization=args.track_memorization,
+            best_cache=best_cache)
         if args.track_memorization and logger.path:
             from carel_tpu.tools.memorization_plot import plot_memorization
 

@@ -36,6 +36,7 @@ def self_train(
     mesh=None,
     iterations: Optional[int] = None,
     track_memorization: bool = False,
+    best_cache: Optional[dict] = None,
 ) -> Tuple[TrainState, Tuple[float, float, float]]:
     """Self-training loop. With track_memorization, the per-iteration churn
     of pseudo-positive pair selections is recorded (the analysis of
@@ -79,7 +80,7 @@ def self_train(
             num_unpred_pairs, model_id, epochs=cfg.train.self_epochs,
             logger=logger, mesh=mesh,
             data_rng=np.random.default_rng(cfg.train.seed + 100 + i),
-            best_f1_so_far=best[2])
+            best_f1_so_far=best[2], best_cache=best_cache)
         if metrics[2] > best[2]:
             best = metrics
         logger.log({"event": "selftrain_best", "iteration": i + 1,

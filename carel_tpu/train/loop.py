@@ -103,11 +103,19 @@ def train_epochs(
     data_rng: Optional[np.random.Generator] = None,
     best_f1_so_far: float = 0.0,
     epoch_offset: int = 0,
+    best_cache: Optional[dict] = None,
 ) -> Tuple[TrainState, Tuple[float, float, float]]:
     """Epoch loop with per-epoch eval and best-F1 checkpointing.
 
     Returns the state with BEST params reloaded (the reference reloads the
     best checkpoint after training, flagship :916-917).
+
+    best_cache: optional mutable holder (shared across the base call and all
+    self-train iterations) keeping a device-memory copy of the best params,
+    so the per-iteration restart-from-best reload skips the orbax disk round
+    trip (~3-4 s x 100 iterations). Disk remains the source of truth for
+    crash recovery; copies guard against buffer donation invalidating the
+    cached arrays.
     """
     logger = logger or JsonlLogger(echo=False)
     data_rng = data_rng or np.random.default_rng(cfg.train.seed)
@@ -179,6 +187,11 @@ def train_epochs(
             best = (res.precision, res.recall, res.f1)
             ckpt.save_best(cfg.train.checkpoint_dir, model_id, state.params)
             saved_any = True
+            if best_cache is not None:
+                import jax.numpy as jnp
+
+                best_cache["params"] = jax.tree_util.tree_map(
+                    jnp.copy, state.params)
             logger.log({"event": "best", "epoch": epoch, "f1": res.f1})
 
         if (cfg.train.save_state_every
@@ -196,7 +209,14 @@ def train_epochs(
     # for 60+ iterations, runs b0c04059/ce9a3323).
     import os as _os
 
-    if saved_any or _os.path.exists(_os.path.join(
+    if best_cache is not None and best_cache.get("params") is not None:
+        import jax.numpy as jnp
+
+        # hand out a fresh copy: the caller's next donating step would
+        # otherwise invalidate the cached buffers
+        state = state.replace(params=jax.tree_util.tree_map(
+            jnp.copy, best_cache["params"]))
+    elif saved_any or _os.path.exists(_os.path.join(
             _os.path.abspath(cfg.train.checkpoint_dir), f"{model_id}_best")):
         best_params = ckpt.load_best(cfg.train.checkpoint_dir, model_id,
                                      state.params)

@@ -106,6 +106,25 @@ def test_restart_from_best_unconditional(pipe):
     assert jnp.allclose(restored, saved), \
         "train_epochs must reload the best ckpt even when it saved nothing"
 
+    # device-memory best cache: same restart semantics without the disk
+    # round trip, and the handed-out params are a fresh copy (donation-safe)
+    cache: dict = {}
+    state, _ = train_epochs(
+        cfg, state, train_step, eval_step, pipe.train_arrays,
+        pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id,
+        epochs=1, best_f1_so_far=-1.0, best_cache=cache)
+    assert cache.get("params") is not None
+    cached_leaf = jax.tree_util.tree_leaves(cache["params"])[0]
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.params))
+    state, _ = train_epochs(
+        cfg, state, train_step, eval_step, pipe.train_arrays,
+        pipe.test_arrays, pipe.num_unpred_pairs, pipe.model_id,
+        epochs=0, best_cache=cache)
+    out_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert jnp.allclose(out_leaf, cached_leaf)
+    assert out_leaf is not cached_leaf  # fresh copy, not the cached buffer
+
 
 @requires_reference_data
 def test_resolve_paths_match_reference_layout():

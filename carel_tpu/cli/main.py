@@ -104,6 +104,9 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_strategy"] = SelfStrategy(args.self_strategy)
     if getattr(args, "self_conf_margin", None):
         kw["self_conf_margin"] = args.self_conf_margin
+    if getattr(args, "self_conf_keep", None) is not None \
+            and args.self_conf_keep < 1.0:
+        kw["self_conf_keep"] = args.self_conf_keep
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -131,6 +134,13 @@ def _nonneg_float(value: str) -> float:
     return v
 
 
+def _keep_fraction(value: str) -> float:
+    v = float(value)
+    if not 0.0 < v <= 1.0:
+        raise argparse.ArgumentTypeError(f"must be in (0, 1], got {value}")
+    return v
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default="ec_mmd_final_mul_newsplit_emnlp",
                    choices=sorted(PRESETS))
@@ -147,6 +157,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--self_conf_margin", type=_nonneg_float, default=0.0,
                    help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
                         "margin (0 = reference-exact self-training)")
+    p.add_argument("--self_conf_keep", type=_keep_fraction, default=1.0,
+                   help="keep only this fraction of docs per iteration, "
+                        "ranked by P(pos)-P(neg) separation (quantile "
+                        "variant of --self_conf_margin; 1.0 = reference)")
     p.add_argument("--self_chain", action="store_true",
                    help="self-chain pair construction (read_ECPE_self_chain_"
                         "data: test keeps only emotion==cause docs; see "
@@ -316,7 +330,8 @@ def cmd_train(args) -> int:
     final_best = best
     if cfg.train.self_iteration > 0:
         self_step = train_step
-        if cfg.train.scan_epoch and cfg.train.self_conf_margin > 0.0:
+        if cfg.train.scan_epoch and (cfg.train.self_conf_margin > 0.0
+                                     or cfg.train.self_conf_keep < 1.0):
             # margin filtering makes the pseudo-set size vary per iteration;
             # under scan_epoch every new size is a fresh stacked shape and a
             # multi-minute remote compile (and one transient compile failure

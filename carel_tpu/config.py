@@ -188,6 +188,11 @@ class TrainConfig:
     # beyond-reference: drop a doc's pseudo-pair unless raw P(pos) - P(neg)
     # >= this margin (0.0 = reference-exact; see selftrain/strategies.py)
     self_conf_margin: float = 0.0
+    # beyond-reference: keep only this fraction of docs, ranked by raw
+    # P(pos) - P(neg) separation (quantile variant of the margin — it
+    # self-calibrates to the model's current probability scale; 1.0 =
+    # reference-exact)
+    self_conf_keep: float = 1.0
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

@@ -57,7 +57,8 @@ def self_train(
         pseudo = generate_self_train_pairs(
             test_pairs, res.probs, cfg.train.self_strategy,
             iteration=i, round_up=cfg.train.round_up, rng=rng,
-            conf_margin=cfg.train.self_conf_margin)
+            conf_margin=cfg.train.self_conf_margin,
+            conf_keep=cfg.train.self_conf_keep)
         if len(pseudo) == 0:
             logger.log({"event": "selftrain_empty", "iteration": i + 1})
             continue

@@ -37,6 +37,7 @@ def generate_self_train_pairs(
     round_up: bool = True,
     rng: Optional[np.random.Generator] = None,
     conf_margin: float = 0.0,
+    conf_keep: float = 1.0,
 ) -> PairSet:
     """Build the pseudo-labelled pair set from per-pair probabilities.
 
@@ -46,9 +47,12 @@ def generate_self_train_pairs(
 
     conf_margin > 0 (beyond the reference) drops a document's pseudo-pair
     unless raw P(pos) - P(neg) >= conf_margin: low-separation documents are
-    exactly where the deterministic pseudo-label loop locks in wrong labels
-    (RESULTS.md round 2: education saturates at 0.57 while entertainment,
-    whose rankings separate cleanly, reaches 0.785). 0.0 = reference-exact.
+    exactly where the deterministic pseudo-label loop locks in wrong labels.
+    An absolute margin cannot self-calibrate, though — a weak base model
+    separates almost nothing (observed: margin 0.2 leaves 1-2 docs), while a
+    strong one passes everything. conf_keep < 1 is the quantile version:
+    keep the conf_keep fraction of documents with the LARGEST P(pos)-P(neg)
+    separation, whatever its absolute scale. 0.0 / 1.0 = reference-exact.
     """
     rng = rng or np.random.default_rng(0)
     probs = np.asarray(probs, np.float64)
@@ -62,7 +66,7 @@ def generate_self_train_pairs(
         use_round = round_up
     scores = np.round(probs) if use_round else probs
 
-    out = PairSet()
+    selected = []  # (pos_i, neg_i, raw-prob separation), in document order
     curr = 0
     for size in test_pairs.docs_pair_size:
         if size == 0:
@@ -106,18 +110,29 @@ def generate_self_train_pairs(
                 and probs[pos_i] - probs[neg_i] < conf_margin):
             pos_i = neg_i = None
         if pos_i is not None and neg_i is not None:
-            src_p = test_pairs.examples[pos_i]
-            src_n = test_pairs.examples[neg_i]
-            out.examples.append(PairExample(
-                pair=src_p.pair, label=1, emotion=src_p.emotion,
-                temporal_order=src_p.temporal_order,
-                doc_index=src_p.doc_index,
-                emo_sen_id=src_p.emo_sen_id, cau_sen_id=src_p.cau_sen_id))
-            out.examples.append(PairExample(
-                pair=src_n.pair, label=0, emotion=src_n.emotion,
-                temporal_order=src_n.temporal_order,
-                doc_index=src_n.doc_index,
-                emo_sen_id=src_n.emo_sen_id, cau_sen_id=src_n.cau_sen_id))
-            out.docs_pair_size.append(2)
+            selected.append((pos_i, neg_i, probs[pos_i] - probs[neg_i]))
+
+    if conf_keep < 1.0 and selected:
+        # quantile filter: keep the conf_keep fraction of docs with the
+        # largest separation (>= so ties don't empty the set)
+        seps = np.asarray([s for _, _, s in selected])
+        thresh = np.quantile(seps, 1.0 - conf_keep)
+        selected = [t for t in selected if t[2] >= thresh]
+
+    out = PairSet()
+    for pos_i, neg_i, _ in selected:
+        src_p = test_pairs.examples[pos_i]
+        src_n = test_pairs.examples[neg_i]
+        out.examples.append(PairExample(
+            pair=src_p.pair, label=1, emotion=src_p.emotion,
+            temporal_order=src_p.temporal_order,
+            doc_index=src_p.doc_index,
+            emo_sen_id=src_p.emo_sen_id, cau_sen_id=src_p.cau_sen_id))
+        out.examples.append(PairExample(
+            pair=src_n.pair, label=0, emotion=src_n.emotion,
+            temporal_order=src_n.temporal_order,
+            doc_index=src_n.doc_index,
+            emo_sen_id=src_n.emo_sen_id, cau_sen_id=src_n.cau_sen_id))
+        out.docs_pair_size.append(2)
 
     return out

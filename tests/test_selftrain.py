@@ -111,3 +111,38 @@ def test_conf_margin_filters_low_separation_docs():
         rng=np.random.default_rng(0), conf_margin=0.3)
     assert len(filt.docs_pair_size) == 1  # doc 1 dropped
     assert filt.examples[0].pair == pairs.examples[0].pair  # doc 0's top
+
+
+def test_conf_keep_quantile_filter():
+    """--self_conf_keep keeps the most-separated fraction of docs and is
+    byte-identical to the reference path at keep=1.0."""
+    import numpy as np
+
+    from carel_tpu.config import SelfStrategy
+    from carel_tpu.data.pairs import PairExample, PairSet
+    from carel_tpu.selftrain.strategies import generate_self_train_pairs
+
+    ps = PairSet()
+    probs = []
+    for d in range(10):
+        for k in range(4):
+            ps.examples.append(PairExample(
+                pair=f"d{d}p{k}", label=0, emotion=0, temporal_order=True,
+                doc_index=d, emo_sen_id=1, cau_sen_id=k + 1))
+        ps.docs_pair_size.append(4)
+        sep = 0.05 * d
+        probs += [0.5 + sep, 0.5 - sep, 0.4, 0.3]
+    probs = np.asarray(probs)
+
+    full = generate_self_train_pairs(
+        ps, probs, SelfStrategy.RANDOM, round_up=False,
+        rng=np.random.default_rng(0))
+    half = generate_self_train_pairs(
+        ps, probs, SelfStrategy.RANDOM, round_up=False,
+        rng=np.random.default_rng(0), conf_keep=0.5)
+    assert len(full) == 20
+    assert {e.doc_index for e in half.examples} == {5, 6, 7, 8, 9}
+    same = generate_self_train_pairs(
+        ps, probs, SelfStrategy.RANDOM, round_up=False,
+        rng=np.random.default_rng(0), conf_keep=1.0)
+    assert [e.pair for e in same.examples] == [e.pair for e in full.examples]

@@ -157,6 +157,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--self_conf_margin", type=_nonneg_float, default=0.0,
                    help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
                         "margin (0 = reference-exact self-training)")
+    p.add_argument("--self_anchor_base", action="store_true",
+                   help="seed the self-training best from the base metrics "
+                        "(the reference zero-inits it, flagship :967, so "
+                        "iteration 1 can overwrite the best ckpt with a "
+                        "worse model and drop the restart anchor)")
     p.add_argument("--self_conf_keep", type=_keep_fraction, default=1.0,
                    help="keep only this fraction of docs per iteration, "
                         "ranked by P(pos)-P(neg) separation (quantile "
@@ -343,7 +348,8 @@ def cmd_train(args) -> int:
             pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,
             pipe.model_id, logger=logger, mesh=mesh,
             track_memorization=args.track_memorization,
-            best_cache=best_cache)
+            best_cache=best_cache,
+            initial_best=best if args.self_anchor_base else None)
         if args.track_memorization and logger.path:
             from carel_tpu.tools.memorization_plot import plot_memorization
 

@@ -37,6 +37,7 @@ def self_train(
     iterations: Optional[int] = None,
     track_memorization: bool = False,
     best_cache: Optional[dict] = None,
+    initial_best: Optional[Tuple[float, float, float]] = None,
 ) -> Tuple[TrainState, Tuple[float, float, float]]:
     """Self-training loop. With track_memorization, the per-iteration churn
     of pseudo-positive pair selections is recorded (the analysis of
@@ -49,7 +50,14 @@ def self_train(
     eval_rng = jax.random.key(cfg.train.seed + 29)
 
     prev_pos: set = set()
-    best = (0.0, 0.0, 0.0)
+    # The reference zero-inits the self-train best (self_metrics=[0,0,0],
+    # flagship :967), so the FIRST self iteration overwrites the best
+    # checkpoint with whatever it reaches — usually below the base best —
+    # and the restart-from-best anchor drops. initial_best (the
+    # --self_anchor_base knob) seeds it from the base metrics instead:
+    # every iteration then fine-tunes from the best model seen anywhere,
+    # and saves only on genuine improvement. None = reference-exact.
+    best = initial_best if initial_best is not None else (0.0, 0.0, 0.0)
     for i in range(iterations):
         eval_rng, sub = jax.random.split(eval_rng)
         res = evaluate(eval_step, state.params, test_arrays,

@@ -107,6 +107,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
     if getattr(args, "self_conf_keep", None) is not None \
             and args.self_conf_keep < 1.0:
         kw["self_conf_keep"] = args.self_conf_keep
+    if getattr(args, "self_pairs_per_doc", 1) and args.self_pairs_per_doc > 1:
+        kw["self_pairs_per_doc"] = args.self_pairs_per_doc
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -162,6 +164,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(the reference zero-inits it, flagship :967, so "
                         "iteration 1 can overwrite the best ckpt with a "
                         "worse model and drop the restart anchor)")
+    p.add_argument("--self_pairs_per_doc", type=int, default=1,
+                   help="pseudo-pairs per document in self-training (top-k "
+                        "pos + k sampled negs; 1 = reference-exact)")
     p.add_argument("--self_conf_keep", type=_keep_fraction, default=1.0,
                    help="keep only this fraction of docs per iteration, "
                         "ranked by P(pos)-P(neg) separation (quantile "

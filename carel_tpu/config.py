@@ -193,6 +193,9 @@ class TrainConfig:
     # self-calibrates to the model's current probability scale; 1.0 =
     # reference-exact)
     self_conf_keep: float = 1.0
+    # beyond-reference: pseudo-pairs per document (the reference hard-codes
+    # 1 pos + 1 neg, flagship :751-793; k>1 = top-k pos + k sampled negs)
+    self_pairs_per_doc: int = 1
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

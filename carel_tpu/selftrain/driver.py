@@ -66,7 +66,8 @@ def self_train(
             test_pairs, res.probs, cfg.train.self_strategy,
             iteration=i, round_up=cfg.train.round_up, rng=rng,
             conf_margin=cfg.train.self_conf_margin,
-            conf_keep=cfg.train.self_conf_keep)
+            conf_keep=cfg.train.self_conf_keep,
+            pairs_per_doc=cfg.train.self_pairs_per_doc)
         if len(pseudo) == 0:
             logger.log({"event": "selftrain_empty", "iteration": i + 1})
             continue

@@ -38,6 +38,7 @@ def generate_self_train_pairs(
     rng: Optional[np.random.Generator] = None,
     conf_margin: float = 0.0,
     conf_keep: float = 1.0,
+    pairs_per_doc: int = 1,
 ) -> PairSet:
     """Build the pseudo-labelled pair set from per-pair probabilities.
 
@@ -53,6 +54,12 @@ def generate_self_train_pairs(
     strong one passes everything. conf_keep < 1 is the quantile version:
     keep the conf_keep fraction of documents with the LARGEST P(pos)-P(neg)
     separation, whatever its absolute scale. 0.0 / 1.0 = reference-exact.
+
+    pairs_per_doc > 1 (beyond the reference, which hard-codes one pos + one
+    neg per document, flagship :751-793) generalizes every strategy to the
+    top-k positives plus k sampled negatives — more gradient signal per
+    iteration and less overfitting to a 2-pair pseudo set. k=1 reproduces
+    the reference selection exactly (including the RNG draw sequence).
     """
     rng = rng or np.random.default_rng(0)
     probs = np.asarray(probs, np.float64)
@@ -66,6 +73,7 @@ def generate_self_train_pairs(
         use_round = round_up
     scores = np.round(probs) if use_round else probs
 
+    k = max(1, int(pairs_per_doc))
     selected = []  # (pos_i, neg_i, raw-prob separation), in document order
     curr = 0
     for size in test_pairs.docs_pair_size:
@@ -78,39 +86,42 @@ def generate_self_train_pairs(
         # sorted() on the reference's dict items)
         order = idx[np.argsort(-doc_scores, kind="stable")]
 
-        pos_i = neg_i = None
+        doc_pairs = []  # (pos_i, neg_i) for this document
         if eff_strategy == SelfStrategy.THRESHOLD:
             above = idx[doc_scores > 0.5]
             below = idx[doc_scores <= 0.5]
-            if len(above):
-                pos_i = above[np.argmax(scores[above])]
-            if len(below):
-                neg_i = below[np.argmax(scores[below])]
+            if len(above) and len(below):
+                pos_order = above[np.argsort(-scores[above], kind="stable")]
+                neg_order = below[np.argsort(-scores[below], kind="stable")]
+                m = min(k, len(pos_order), len(neg_order))
+                doc_pairs = list(zip(pos_order[:m], neg_order[:m]))
         elif eff_strategy == SelfStrategy.RANDOM:
-            pos_i = order[0]
-            if len(order) > 1:
-                neg_i = order[int(rng.integers(1, len(order)))]
+            # positives = top-m ranks; each negative drawn uniformly from
+            # the ranks strictly below ALL positives (m=1 == reference draw)
+            m = min(k, len(order) - 1)
+            for j in range(m):
+                neg_i = order[int(rng.integers(m, len(order)))]
+                doc_pairs.append((order[j], neg_i))
         elif eff_strategy == SelfStrategy.EXTREME:
-            pos_i = order[0]
-            neg_i = order[-1]
+            m = min(k, len(order) // 2) or (1 if len(order) >= 1 else 0)
+            for j in range(m):
+                doc_pairs.append((order[j], order[len(order) - 1 - j]))
         elif eff_strategy == SelfStrategy.TEMPORAL_ORDER:
-            rank_of_pos = None
-            for rank, i in enumerate(order):
-                if test_pairs.examples[i].temporal_order:
-                    pos_i = i
-                    rank_of_pos = rank
-                    break
-                rank_of_pos = rank
-            if rank_of_pos is not None and rank_of_pos < len(order) - 1:
-                neg_i = order[int(rng.integers(rank_of_pos + 1, len(order)))]
+            pos_ranks = [rank for rank, i in enumerate(order)
+                         if test_pairs.examples[i].temporal_order][:k]
+            if pos_ranks and pos_ranks[-1] < len(order) - 1:
+                low = pos_ranks[-1] + 1
+                for rank in pos_ranks:
+                    neg_i = order[int(rng.integers(low, len(order)))]
+                    doc_pairs.append((order[rank], neg_i))
         else:
             raise ValueError(f"unknown strategy {strategy}")
 
-        if (pos_i is not None and neg_i is not None and conf_margin > 0.0
-                and probs[pos_i] - probs[neg_i] < conf_margin):
-            pos_i = neg_i = None
-        if pos_i is not None and neg_i is not None:
-            selected.append((pos_i, neg_i, probs[pos_i] - probs[neg_i]))
+        for pos_i, neg_i in doc_pairs:
+            sep = probs[pos_i] - probs[neg_i]
+            if conf_margin > 0.0 and sep < conf_margin:
+                continue
+            selected.append((pos_i, neg_i, sep))
 
     if conf_keep < 1.0 and selected:
         # quantile filter: keep the conf_keep fraction of docs with the

@@ -146,3 +146,58 @@ def test_conf_keep_quantile_filter():
         ps, probs, SelfStrategy.RANDOM, round_up=False,
         rng=np.random.default_rng(0), conf_keep=1.0)
     assert [e.pair for e in same.examples] == [e.pair for e in full.examples]
+
+
+def test_pairs_per_doc_topk_random():
+    """--self_pairs_per_doc k: top-k positives + k negatives drawn strictly
+    below all positives (k=1 is the reference's 1+1 selection)."""
+    ps = _pairs([6])
+    probs = np.array([0.1, 0.9, 0.3, 0.7, 0.5, 0.2])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                    round_up=False,
+                                    rng=np.random.default_rng(0),
+                                    pairs_per_doc=2)
+    pos = [e.pair for e in out.examples if e.label == 1]
+    neg = [e.pair for e in out.examples if e.label == 0]
+    assert pos == ["p0_1", "p0_3"]  # the two highest-prob pairs
+    assert len(neg) == 2
+    # negatives come from the ranks below both positives
+    assert set(neg) <= {"p0_4", "p0_2", "p0_5", "p0_0"}
+
+
+def test_pairs_per_doc_topk_extreme_and_threshold():
+    ps = _pairs([6])
+    probs = np.array([0.9, 0.8, 0.6, 0.4, 0.2, 0.1])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.EXTREME,
+                                    round_up=False, pairs_per_doc=2)
+    assert [e.pair for e in out.examples] == [
+        "p0_0", "p0_5", "p0_1", "p0_4"]
+    thr = generate_self_train_pairs(ps, probs, SelfStrategy.THRESHOLD,
+                                    round_up=False, pairs_per_doc=2)
+    assert [e.pair for e in thr.examples] == [
+        "p0_0", "p0_3", "p0_1", "p0_4"]
+
+
+def test_pairs_per_doc_small_doc_clamps():
+    # a 2-pair doc can only yield one (pos, neg) pair however large k is
+    ps = _pairs([2])
+    probs = np.array([0.8, 0.3])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                    round_up=False,
+                                    rng=np.random.default_rng(0),
+                                    pairs_per_doc=4)
+    assert [e.pair for e in out.examples] == ["p0_0", "p0_1"]
+
+
+def test_pairs_per_doc_one_matches_reference_path():
+    # identical selection AND identical RNG consumption at k=1
+    ps = _pairs([5, 4])
+    probs = np.array([0.1, 0.9, 0.3, 0.7, 0.5, 0.6, 0.2, 0.8, 0.4])
+    a = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                  round_up=False,
+                                  rng=np.random.default_rng(7))
+    b = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                  round_up=False,
+                                  rng=np.random.default_rng(7),
+                                  pairs_per_doc=1)
+    assert [e.pair for e in a.examples] == [e.pair for e in b.examples]

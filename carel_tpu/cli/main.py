@@ -109,6 +109,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_conf_keep"] = args.self_conf_keep
     if getattr(args, "self_pairs_per_doc", 1) and args.self_pairs_per_doc > 1:
         kw["self_pairs_per_doc"] = args.self_pairs_per_doc
+    if getattr(args, "self_lr", None):
+        kw["self_lr"] = args.self_lr
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -167,6 +169,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--self_pairs_per_doc", type=int, default=1,
                    help="pseudo-pairs per document in self-training (top-k "
                         "pos + k sampled negs; 1 = reference-exact)")
+    p.add_argument("--self_lr", type=_nonneg_float, default=0.0,
+                   help="separate lr for self-training fine-tunes (0 = "
+                        "vae_lr, reference-exact; lower keeps attempts "
+                        "near the restart-from-best anchor)")
     p.add_argument("--self_conf_keep", type=_keep_fraction, default=1.0,
                    help="keep only this fraction of docs per iteration, "
                         "ranked by P(pos)-P(neg) separation (quantile "
@@ -339,6 +345,13 @@ def cmd_train(args) -> int:
 
     final_best = best
     if cfg.train.self_iteration > 0:
+        self_cfg = cfg
+        if cfg.train.self_lr > 0.0:
+            # separate self-training lr (optax Adam state is lr-independent,
+            # so the existing TrainState drives the new step unchanged)
+            self_cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               vae_lr=cfg.train.self_lr))
         self_step = train_step
         if cfg.train.scan_epoch and (cfg.train.self_conf_margin > 0.0
                                      or cfg.train.self_conf_keep < 1.0):
@@ -346,8 +359,17 @@ def cmd_train(args) -> int:
             # under scan_epoch every new size is a fresh stacked shape and a
             # multi-minute remote compile (and one transient compile failure
             # kills the run). The per-step path compiles once for any size.
-            self_step = make_train_step(cfg, pipe.model,
+            self_step = make_train_step(self_cfg, pipe.model,
                                         ops_impl=args.ops_impl)
+        elif self_cfg is not cfg:
+            if cfg.train.scan_epoch:
+                from carel_tpu.train.scan_epoch import make_epoch_step
+
+                self_step = make_epoch_step(self_cfg, pipe.model,
+                                            ops_impl=args.ops_impl)
+            else:
+                self_step = make_train_step(self_cfg, pipe.model,
+                                            ops_impl=args.ops_impl)
         state, sbest = self_train(
             cfg, state, self_step, eval_step, pipe.test_pairs,
             pipe.test_arrays, pipe.num_unpred_pairs, pipe.encode,

@@ -196,6 +196,12 @@ class TrainConfig:
     # beyond-reference: pseudo-pairs per document (the reference hard-codes
     # 1 pos + 1 neg, flagship :751-793; k>1 = top-k pos + k sampled negs)
     self_pairs_per_doc: int = 1
+    # beyond-reference: separate learning rate for self-training fine-tunes
+    # (0 = vae_lr, reference-exact). The restart-from-best loop is a local
+    # search around the anchor; a lower lr keeps each 5-epoch attempt from
+    # drifting far below it (measured: at vae_lr 1e-4 attempts land mean
+    # 0.12 F1 BELOW a 0.635 anchor)
+    self_lr: float = 0.0
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

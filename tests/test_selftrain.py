@@ -201,3 +201,21 @@ def test_pairs_per_doc_one_matches_reference_path():
                                   rng=np.random.default_rng(7),
                                   pairs_per_doc=1)
     assert [e.pair for e in a.examples] == [e.pair for e in b.examples]
+
+
+def test_self_lr_override_wiring():
+    """--self_lr / --self_pairs_per_doc flow into TrainConfig via the real
+    argument parser; defaults keep the reference-exact path."""
+    from carel_tpu.cli.main import _apply_overrides, build_parser
+    from carel_tpu.config import PRESETS
+
+    ns = build_parser().parse_args(
+        ["train", "--self_lr", "3e-5", "--self_pairs_per_doc", "3"])
+    cfg = _apply_overrides(PRESETS["ec_mmd_final_mul_newsplit_emnlp"], ns)
+    assert cfg.train.self_lr == 3e-5
+    assert cfg.train.self_pairs_per_doc == 3
+
+    default = _apply_overrides(PRESETS["ec_mmd_final_mul_newsplit_emnlp"],
+                               build_parser().parse_args(["train"]))
+    assert default.train.self_lr == 0.0
+    assert default.train.self_pairs_per_doc == 1

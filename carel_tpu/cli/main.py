@@ -111,6 +111,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_pairs_per_doc"] = args.self_pairs_per_doc
     if getattr(args, "self_lr", None):
         kw["self_lr"] = args.self_lr
+    if getattr(args, "self_max_dist", 0) and args.self_max_dist > 0:
+        kw["self_max_dist"] = args.self_max_dist
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -177,6 +179,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="keep only this fraction of docs per iteration, "
                         "ranked by P(pos)-P(neg) separation (quantile "
                         "variant of --self_conf_margin; 1.0 = reference)")
+    p.add_argument("--self_max_dist", type=int, default=0,
+                   help="locality prior on pseudo-labels: positives within "
+                        "this |emo-cau| sentence distance, beyond-window "
+                        "predicted-positives become hard negatives (0 = "
+                        "reference-exact; zh gold pairs are 98%% within 2)")
     p.add_argument("--self_chain", action="store_true",
                    help="self-chain pair construction (read_ECPE_self_chain_"
                         "data: test keeps only emotion==cause docs; see "
@@ -354,7 +361,8 @@ def cmd_train(args) -> int:
                                                vae_lr=cfg.train.self_lr))
         self_step = train_step
         if cfg.train.scan_epoch and (cfg.train.self_conf_margin > 0.0
-                                     or cfg.train.self_conf_keep < 1.0):
+                                     or cfg.train.self_conf_keep < 1.0
+                                     or cfg.train.self_max_dist > 0):
             # margin filtering makes the pseudo-set size vary per iteration;
             # under scan_epoch every new size is a fresh stacked shape and a
             # multi-minute remote compile (and one transient compile failure

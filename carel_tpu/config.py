@@ -196,6 +196,11 @@ class TrainConfig:
     # beyond-reference: pseudo-pairs per document (the reference hard-codes
     # 1 pos + 1 neg, flagship :751-793; k>1 = top-k pos + k sampled negs)
     self_pairs_per_doc: int = 1
+    # beyond-reference: locality prior on pseudo-labels — pseudo-positives
+    # must sit within this sentence distance |emo - cau|, and beyond-window
+    # predicted-positives become hard pseudo-negatives (98% of zh gold pairs
+    # are within distance 2; scripts/fp_analysis.py). 0 = reference-exact
+    self_max_dist: int = 0
     # beyond-reference: separate learning rate for self-training fine-tunes
     # (0 = vae_lr, reference-exact). The restart-from-best loop is a local
     # search around the anchor; a lower lr keeps each 5-epoch attempt from

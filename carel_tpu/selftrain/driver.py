@@ -67,7 +67,8 @@ def self_train(
             iteration=i, round_up=cfg.train.round_up, rng=rng,
             conf_margin=cfg.train.self_conf_margin,
             conf_keep=cfg.train.self_conf_keep,
-            pairs_per_doc=cfg.train.self_pairs_per_doc)
+            pairs_per_doc=cfg.train.self_pairs_per_doc,
+            max_dist=cfg.train.self_max_dist)
         if len(pseudo) == 0:
             logger.log({"event": "selftrain_empty", "iteration": i + 1})
             continue

@@ -39,6 +39,7 @@ def generate_self_train_pairs(
     conf_margin: float = 0.0,
     conf_keep: float = 1.0,
     pairs_per_doc: int = 1,
+    max_dist: int = 0,
 ) -> PairSet:
     """Build the pseudo-labelled pair set from per-pair probabilities.
 
@@ -60,6 +61,16 @@ def generate_self_train_pairs(
     top-k positives plus k sampled negatives — more gradient signal per
     iteration and less overfitting to a 2-pair pseudo set. k=1 reproduces
     the reference selection exactly (including the RNG draw sequence).
+
+    max_dist > 0 (beyond the reference) encodes the corpus's locality prior
+    into the pseudo-labels: measured on zh education, 98% of gold pairs sit
+    within 2 sentences of the emotion clause while 55% of the trained
+    model's false positives sit at distance >= 5 (scripts/fp_analysis.py).
+    Pseudo-POSITIVES are restricted to pairs with |emo - cau| <= max_dist,
+    and each document's highest-scoring pair beyond the window additionally
+    becomes an explicit hard pseudo-negative when the model scores it > 0.5
+    — teaching the classifier not to fire at distances that are never gold.
+    0 = reference-exact.
     """
     rng = rng or np.random.default_rng(0)
     probs = np.asarray(probs, np.float64)
@@ -73,8 +84,13 @@ def generate_self_train_pairs(
         use_round = round_up
     scores = np.round(probs) if use_round else probs
 
+    if max_dist > 0:
+        dists = np.asarray([abs(e.emo_sen_id - e.cau_sen_id)
+                            for e in test_pairs.examples])
+
     k = max(1, int(pairs_per_doc))
     selected = []  # (pos_i, neg_i, raw-prob separation), in document order
+    hard_negs = []  # beyond-window predicted-positives, forced to label 0
     curr = 0
     for size in test_pairs.docs_pair_size:
         if size == 0:
@@ -82,6 +98,20 @@ def generate_self_train_pairs(
         idx = np.arange(curr, curr + size)
         curr += size
         doc_scores = scores[idx]
+        n_elig = size
+        if max_dist > 0:
+            elig_doc = dists[idx] <= max_dist
+            n_elig = int(elig_doc.sum())
+            # the best-scoring beyond-window pair the model believes in
+            # becomes a hard negative (it is almost surely a false positive)
+            far = idx[~elig_doc & (probs[idx] > 0.5)]
+            if len(far):
+                hard_negs.append(far[np.argmax(probs[far])])
+            if n_elig == 0:
+                continue
+            # ineligible pairs rank last for positive selection but stay
+            # drawable as sampled negatives
+            doc_scores = np.where(elig_doc, doc_scores, -1.0)
         # stable descending ranking (ties keep document order, like python's
         # sorted() on the reference's dict items)
         order = idx[np.argsort(-doc_scores, kind="stable")]
@@ -98,17 +128,19 @@ def generate_self_train_pairs(
         elif eff_strategy == SelfStrategy.RANDOM:
             # positives = top-m ranks; each negative drawn uniformly from
             # the ranks strictly below ALL positives (m=1 == reference draw)
-            m = min(k, len(order) - 1)
+            m = min(k, n_elig, len(order) - 1)
             for j in range(m):
                 neg_i = order[int(rng.integers(m, len(order)))]
                 doc_pairs.append((order[j], neg_i))
         elif eff_strategy == SelfStrategy.EXTREME:
             m = min(k, len(order) // 2) or (1 if len(order) >= 1 else 0)
+            m = min(m, n_elig)
             for j in range(m):
                 doc_pairs.append((order[j], order[len(order) - 1 - j]))
         elif eff_strategy == SelfStrategy.TEMPORAL_ORDER:
             pos_ranks = [rank for rank, i in enumerate(order)
-                         if test_pairs.examples[i].temporal_order][:k]
+                         if test_pairs.examples[i].temporal_order
+                         and (max_dist <= 0 or dists[i] <= max_dist)][:k]
             if pos_ranks and pos_ranks[-1] < len(order) - 1:
                 low = pos_ranks[-1] + 1
                 for rank in pos_ranks:
@@ -145,5 +177,16 @@ def generate_self_train_pairs(
             doc_index=src_n.doc_index,
             emo_sen_id=src_n.emo_sen_id, cau_sen_id=src_n.cau_sen_id))
         out.docs_pair_size.append(2)
+
+    used_negs = {neg_i for _, neg_i, _ in selected}
+    for i in hard_negs:
+        if i in used_negs:
+            continue  # already emitted as this doc's sampled negative
+        src = test_pairs.examples[i]
+        out.examples.append(PairExample(
+            pair=src.pair, label=0, emotion=src.emotion,
+            temporal_order=src.temporal_order, doc_index=src.doc_index,
+            emo_sen_id=src.emo_sen_id, cau_sen_id=src.cau_sen_id))
+        out.docs_pair_size.append(1)
 
     return out

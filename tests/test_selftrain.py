@@ -219,3 +219,69 @@ def test_self_lr_override_wiring():
                                build_parser().parse_args(["train"]))
     assert default.train.self_lr == 0.0
     assert default.train.self_pairs_per_doc == 1
+
+
+def _dist_pairs(specs):
+    """specs: list of docs, each a list of (emo, cau, prob). Returns ps, probs."""
+    ps = PairSet()
+    probs = []
+    for d, doc in enumerate(specs):
+        for e, c, p in doc:
+            ps.examples.append(PairExample(
+                pair=f"p{d}_{e}_{c}", label=0, emotion=0,
+                temporal_order=c <= e, doc_index=d,
+                emo_sen_id=e, cau_sen_id=c))
+            probs.append(p)
+        ps.docs_pair_size.append(len(doc))
+    return ps, np.array(probs)
+
+
+def test_max_dist_masks_distant_positives():
+    # doc0: the top-prob pair is distance 6 — with max_dist=2 the positive
+    # must fall to the best in-window pair, and the distant predicted-
+    # positive becomes a hard pseudo-negative
+    ps, probs = _dist_pairs([[(7, 1, 0.9), (3, 2, 0.7), (3, 3, 0.4)]])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                    round_up=False,
+                                    rng=np.random.default_rng(0),
+                                    max_dist=2)
+    pos = [e for e in out.examples if e.label == 1]
+    assert [e.pair for e in pos] == ["p0_3_2"]
+    # the distant predicted-positive appears exactly once as a negative
+    # (hard negative, deduped if the sampled negative already drew it)
+    hard = [e for e in out.examples if e.label == 0 and e.pair == "p0_7_1"]
+    assert len(hard) == 1
+    assert sum(out.docs_pair_size) == len(out.examples)
+
+
+def test_max_dist_doc_with_no_eligible_pairs():
+    # every pair beyond the window: no pos/neg selection, only the hard
+    # negative for the >0.5 distant pair
+    ps, probs = _dist_pairs([[(9, 1, 0.8), (8, 1, 0.3)]])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                    round_up=False, max_dist=2)
+    assert [e.label for e in out.examples] == [0]
+    assert out.examples[0].pair == "p0_9_1"
+
+
+def test_max_dist_zero_is_reference_exact():
+    ps, probs = _dist_pairs([[(7, 1, 0.9), (3, 2, 0.7), (3, 3, 0.4)]])
+    a = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                  round_up=False,
+                                  rng=np.random.default_rng(3))
+    b = generate_self_train_pairs(ps, probs, SelfStrategy.RANDOM,
+                                  round_up=False,
+                                  rng=np.random.default_rng(3), max_dist=0)
+    assert [e.pair for e in a.examples] == [e.pair for e in b.examples]
+    assert [e.label for e in a.examples] == [e.label for e in b.examples]
+
+
+def test_max_dist_temporal_order_respects_window():
+    # temporal-order positive must come from the window even though a
+    # distant temporal pair ranks higher
+    ps, probs = _dist_pairs([[(9, 2, 0.95), (4, 3, 0.6), (2, 5, 0.5)]])
+    out = generate_self_train_pairs(ps, probs, SelfStrategy.TEMPORAL_ORDER,
+                                    round_up=False,
+                                    rng=np.random.default_rng(0), max_dist=2)
+    pos = [e for e in out.examples if e.label == 1]
+    assert [e.pair for e in pos] == ["p0_4_3"]

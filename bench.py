@@ -209,6 +209,28 @@ def main() -> None:
 
     pairs_per_sec = n_steps * B / best_dt
     ms_step = best_dt / n_steps * 1e3
+
+    # rbg PRNG variant: threefry dropout-mask generation is a known TPU tax
+    # (16.1 ms of the 50.5 ms step, scripts/step_breakdown.py); rbg is the
+    # TPU-tuned recipe (--rng_impl rbg), threefry the bit-reproducible default
+    state_rbg = create_train_state(cfg, variables["params"],
+                                   jax.random.key(2, impl="rbg"))
+    for i in range(2):
+        state_rbg, m2 = step(state_rbg, batch, i, 0.0)
+    _ = float(m2["loss"])
+    best_rbg = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state_rbg, m2 = step(state_rbg, batch, i, 0.0)
+        _ = float(m2["loss"])
+        best_rbg = min(best_rbg, time.perf_counter() - t0)
+    rbg_pairs_per_sec = n_steps * B / best_rbg
+    rng_recipe = "threefry"
+    if rbg_pairs_per_sec > pairs_per_sec:
+        rng_recipe = "rbg"
+        best_dt, pairs_per_sec = best_rbg, rbg_pairs_per_sec
+
     flops = _train_flops_per_step(B, L)
     tflops_per_sec = flops / (best_dt / n_steps) / 1e12
 
@@ -223,15 +245,19 @@ def main() -> None:
 
     print(json.dumps({
         "metric": ("ECPE train pairs/sec/chip (flagship MMD step, bf16, "
-                   f"b{B}xs{L} zero-truncation window, value-fetch timed; "
-                   "vs_baseline = single-A100 reference envelope, the "
-                   "hardware the reference trained on)"),
+                   f"b{B}xs{L} zero-truncation window, rng_impl="
+                   f"{rng_recipe}, value-fetch timed; vs_baseline = "
+                   "single-A100 reference envelope, the hardware the "
+                   "reference trained on)"),
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
         "vs_baseline": round(
             pairs_per_sec / A100_ENVELOPE_PAIRS_PER_SEC, 2),
         "details": {
-            "ms_per_step": round(ms_step, 1),
+            "ms_per_step": round(best_dt / n_steps * 1e3, 1),
+            "ms_per_step_threefry": round(ms_step, 1),
+            "ms_per_step_rbg": round(best_rbg / n_steps * 1e3, 1),
+            "rng_recipe": rng_recipe,
             "model_tflops_per_sec": round(tflops_per_sec, 1),
             "mfu_pct_of_v5e_bf16_peak": round(
                 100 * tflops_per_sec / V5E_BF16_PEAK_TFLOPS, 1),

@@ -113,6 +113,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_lr"] = args.self_lr
     if getattr(args, "self_max_dist", 0) and args.self_max_dist > 0:
         kw["self_max_dist"] = args.self_max_dist
+    if getattr(args, "rng_impl", None):
+        kw["rng_impl"] = args.rng_impl
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -179,6 +181,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="keep only this fraction of docs per iteration, "
                         "ranked by P(pos)-P(neg) separation (quantile "
                         "variant of --self_conf_margin; 1.0 = reference)")
+    p.add_argument("--rng_impl", choices=["threefry", "rbg"], default=None,
+                   help="training PRNG implementation; rbg removes the TPU "
+                        "threefry dropout-mask tax (~32%% of the flagship "
+                        "step), threefry (default) is bit-reproducible "
+                        "with published runs")
     p.add_argument("--self_max_dist", type=int, default=0,
                    help="locality prior on pseudo-labels: positives within "
                         "this |emo-cau| sentence distance, beyond-window "

@@ -207,6 +207,11 @@ class TrainConfig:
     # drifting far below it (measured: at vae_lr 1e-4 attempts land mean
     # 0.12 F1 BELOW a 0.635 anchor)
     self_lr: float = 0.0
+    # PRNG implementation for the training stream ("threefry" | "rbg").
+    # rbg removes the TPU threefry dropout-mask tax (16.1 ms of the 50.5 ms
+    # flagship step at b64xs96 — scripts/step_breakdown.py); threefry is the
+    # default so published runs stay bit-reproducible
+    rng_impl: str = "threefry"
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

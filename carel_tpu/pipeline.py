@@ -208,7 +208,13 @@ def init_state(pipe: Pipeline, compat_frozen_latent_heads: bool = True,
     (replicated for pure DP; Megatron-split encoder weights when the mesh
     has a >1 'model' axis)."""
     cfg = pipe.cfg
-    rng = jax.random.key(cfg.train.seed)
+    # rbg is much cheaper than threefry on TPU (measured: the per-step
+    # dropout-mask RNG is 16.1 ms of a 50.5 ms flagship step at b64xs96,
+    # scripts/step_breakdown.py); threefry stays the default for bitstream
+    # reproducibility of published runs
+    impl = getattr(cfg.train, "rng_impl", "threefry")
+    rng = jax.random.key(cfg.train.seed,
+                         impl="threefry2x32" if impl == "threefry" else impl)
     p_rng, s_rng, state_rng = jax.random.split(rng, 3)
     B, L = 2, cfg.data.max_len
     import jax.numpy as jnp

@@ -191,6 +191,10 @@ def main() -> None:
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         batch["input_ids"], batch["attention_mask"], batch["token_type_ids"])
     state = create_train_state(cfg, variables["params"], jax.random.key(2))
+    # the jitted step donates the state (donate_argnums=(0,)), which frees
+    # the param buffers variables["params"] aliases after the first call —
+    # snapshot fresh buffers NOW for the rbg arm below
+    params_rbg = jax.tree.map(jnp.copy, variables["params"])
     step = make_train_step(cfg, model)
 
     # warmup / compile; float() forces real completion on this backend
@@ -213,7 +217,7 @@ def main() -> None:
     # rbg PRNG variant: threefry dropout-mask generation is a known TPU tax
     # (16.1 ms of the 50.5 ms step, scripts/step_breakdown.py); rbg is the
     # TPU-tuned recipe (--rng_impl rbg), threefry the bit-reproducible default
-    state_rbg = create_train_state(cfg, variables["params"],
+    state_rbg = create_train_state(cfg, params_rbg,
                                    jax.random.key(2, impl="rbg"))
     for i in range(2):
         state_rbg, m2 = step(state_rbg, batch, i, 0.0)

@@ -35,6 +35,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 
 import dataclasses
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -145,6 +147,41 @@ def measure_torch_reference(B: int = BENCH_BATCH, L: int = 128,
     dt = (time.perf_counter() - t0) / steps
     return {"torch_cpu_ms_step": round(dt * 1e3, 1),
             "torch_cpu_pairs_per_sec": round(B / dt, 1)}
+
+
+def _probe_backend(attempts: int = 3, timeout_s: int = 60) -> str:
+    """Bounded backend-availability probe (VERDICT r3 weak #6).
+
+    The first device touch on a dead axon tunnel parks the PJRT client in an
+    ~25-minute reconnect-sleep loop inside this process, unkillable from
+    Python — so the probe runs `jax.devices()` in a SUBPROCESS under a hard
+    timeout instead. Returns "" when a backend answers, else a one-line
+    error description after `attempts` bounded tries."""
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return ""
+            last = (r.stderr.strip().splitlines() or ["rc!=0"])[-1][:200]
+        except subprocess.TimeoutExpired:
+            last = (f"jax.devices() unresponsive after {timeout_s}s "
+                    "(axon tunnel down: PJRT reconnect loop)")
+        if i + 1 < attempts:
+            time.sleep(10)
+    return last
+
+
+def _emit_error(msg: str) -> None:
+    """One parseable JSON line + rc=0 even when the backend is gone."""
+    print(json.dumps({
+        "metric": "ECPE train pairs/sec/chip (flagship MMD step)",
+        "value": None, "unit": "pairs/sec", "vs_baseline": None,
+        "error": msg[:500],
+    }))
 
 
 def main() -> None:
@@ -273,4 +310,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    err = _probe_backend()
+    if err:
+        _emit_error(err)
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — one JSON line, never a trace
+            _emit_error(f"{type(e).__name__}: {e}")

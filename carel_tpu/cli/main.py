@@ -115,6 +115,8 @@ def _apply_overrides(cfg: CarelConfig, args) -> CarelConfig:
         kw["self_max_dist"] = args.self_max_dist
     if getattr(args, "rng_impl", None):
         kw["rng_impl"] = args.rng_impl
+    if getattr(args, "optim_mu_dtype", None):
+        kw["optim_mu_dtype"] = args.optim_mu_dtype
     if getattr(args, "no_round_up", False):
         kw["round_up"] = False
     elif getattr(args, "round_up", False):
@@ -165,6 +167,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--self_conf_margin", type=_nonneg_float, default=0.0,
                    help="drop a doc's pseudo-pair unless P(pos)-P(neg) >= "
                         "margin (0 = reference-exact self-training)")
+    p.add_argument("--self_fallback_base", action="store_true",
+                   help="report the base model's metrics as best_f1 when "
+                        "self-training never produces a non-empty pseudo "
+                        "set (default OFF: the reference reports its "
+                        "zero-initialized self_metrics in this corner, "
+                        "flagship :967; PARITY.md quirk table)")
     p.add_argument("--self_anchor_base", action="store_true",
                    help="seed the self-training best from the base metrics "
                         "(the reference zero-inits it, flagship :967, so "
@@ -186,6 +194,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "threefry dropout-mask tax (~32%% of the flagship "
                         "step), threefry (default) is bit-reproducible "
                         "with published runs")
+    p.add_argument("--optim_mu_dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="Adam first-moment dtype (bfloat16 halves one of "
+                        "the three optimizer HBM arrays; float32 default)")
     p.add_argument("--self_max_dist", type=int, default=0,
                    help="locality prior on pseudo-labels: positives within "
                         "this |emo-cau| sentence distance, beyond-window "
@@ -402,12 +414,13 @@ def cmd_train(args) -> int:
                 logger.log({"event": "memorization_plot", "path": png})
         logger.log({"event": "self_done", "p": sbest[0], "r": sbest[1],
                     "f1": sbest[2]})
-        # fall back to the base model's metrics when self-training never
-        # produced a non-empty pseudo set (e.g. a large --self_conf_margin
-        # starved every iteration): sbest stays at the (0,0,0) sentinel the
-        # reference's self_metrics zero-init would also report, but printing
-        # best_f1=0.0 over a good base model is a reporting footgun (ADVICE r2)
-        if sbest[2] > 0.0:
+        # reference-exact default: when self-training never produces a
+        # non-empty pseudo set (e.g. a large --self_conf_margin starved
+        # every iteration) sbest stays at the (0,0,0) sentinel the
+        # reference's self_metrics zero-init reports (flagship :967).
+        # --self_fallback_base opts into reporting the base metrics instead
+        # (PARITY.md quirk table; ADVICE r3 — quirks stay default-on).
+        if sbest[2] > 0.0 or not args.self_fallback_base:
             final_best = sbest
         else:
             logger.log({"event": "selftrain_no_improvement",

@@ -212,6 +212,10 @@ class TrainConfig:
     # flagship step at b64xs96 — scripts/step_breakdown.py); threefry is the
     # default so published runs stay bit-reproducible
     rng_impl: str = "threefry"
+    # Adam first-moment dtype ("float32" | "bfloat16"). bf16 mu halves one
+    # of the three optimizer HBM arrays (102M params -> ~0.8 GB/step less
+    # traffic); float32 stays default so published runs are untouched.
+    optim_mu_dtype: str = "float32"
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
     checkpoint_dir: str = "checkpoints"

@@ -178,6 +178,12 @@ def generate_self_train_pairs(
             emo_sen_id=src_n.emo_sen_id, cau_sen_id=src_n.cau_sen_id))
         out.docs_pair_size.append(2)
 
+    # NOTE: hard pseudo-negatives (self_max_dist > 0) are emitted as
+    # singleton docs_pair_size entries, so a pseudo PairSet is NOT
+    # guaranteed the reference's 2-per-doc (pos, neg) structure — consumers
+    # regrouping by docs_pair_size must not assume pairs of 2 here.
+    # Current consumers (encode_pairs, memorization tracking) iterate
+    # examples flat and are unaffected.
     used_negs = {neg_i for _, neg_i, _ in selected}
     for i in hard_negs:
         if i in used_negs:

@@ -71,20 +71,43 @@ def evaluate(
     return EvalResult(p, r, f1, probs)
 
 
+# Signatures of the axon tunnel's transient TRACE/COMPILE-time failures
+# (observed killing otherwise-fine 30-minute runs). Deliberately narrow:
+# a broad "INTERNAL" match would also retry execution-phase errors, and
+# with donated input buffers (steps.py donate_argnums=(0,)) re-invoking
+# after a partially-dispatched step hits deleted buffers and masks the
+# root cause (ADVICE r3).
+_TRANSIENT_SIGNATURES = ("remote_compile", "response body closed",
+                         "Socket closed", "connection reset")
+
+
 def _dispatch_with_retry(fn, *args, retries: int = 2, logger=None):
-    """Retry transient remote-compile failures (axon tunnel: INTERNAL
-    'response body closed' kills an otherwise-fine 30-minute run). The error
-    surfaces before device execution, so re-invoking recompiles safely."""
+    """Retry transient remote-compile/transport failures on the axon tunnel.
+
+    Scope: these errors surface at DISPATCH (trace/compile) time, before
+    device execution, so re-invoking with the same (still-live) arguments
+    recompiles safely. Execution-phase errors on this async backend surface
+    later, at the value fetch (np.asarray/float) OUTSIDE this wrapper, and
+    are intentionally not retried — by then the donated state is gone. If a
+    retry does trip over already-donated buffers, the ORIGINAL transient
+    error is re-raised so the root cause is not masked."""
+    first_transient = None
     for attempt in range(retries + 1):
         try:
             return fn(*args)
         except Exception as e:  # jax.errors.JaxRuntimeError
-            transient = "INTERNAL" in str(e) or "remote_compile" in str(e)
+            msg = str(e)
+            if first_transient is not None and "deleted" in msg.lower():
+                # donation consumed the inputs during the failed dispatch;
+                # report the root cause, not the retry artifact
+                raise first_transient from e
+            transient = any(s in msg for s in _TRANSIENT_SIGNATURES)
             if attempt == retries or not transient:
                 raise
+            first_transient = first_transient or e
             if logger is not None:
                 logger.log({"event": "compile_retry", "attempt": attempt + 1,
-                            "error": str(e)[:160]})
+                            "error": msg[:160]})
             time.sleep(5.0 * (attempt + 1))
 
 

@@ -113,7 +113,11 @@ def create_train_state(
     """torch defaults replicated: Adam(b1=.9, b2=.999, eps=1e-8),
     RMSprop(alpha=.99, eps=1e-8) (ec_gan :906-909, vi_final :878-879)."""
     labels = param_labels(params, compat_frozen_latent_heads)
-    main_tx = _only_group(optax.adam(cfg.train.vae_lr, eps=1e-8), labels, MAIN)
+    mu_dtype = (jnp.bfloat16 if cfg.train.optim_mu_dtype == "bfloat16"
+                else None)
+    main_tx = _only_group(
+        optax.adam(cfg.train.vae_lr, eps=1e-8, mu_dtype=mu_dtype),
+        labels, MAIN)
     disc_tx = _only_group(
         optax.rmsprop(cfg.train.adv_lr, decay=0.99, eps=1e-8), labels, DISC)
     club_tx = _only_group(optax.adam(cfg.train.aprx_lr, eps=1e-8), labels, CLUB)

@@ -3,10 +3,17 @@
 Joins runs/q/queue.log (timestamp -> command) with each job's stdout log
 (runs/q/<ts>.log, whose last JSON line carries model_id/best_f1/base_f1).
 
-Usage: python scripts/collect_results.py [--since YYYYmmdd-HHMMSS]
+Usage: python scripts/collect_results.py [--since YYYYmmdd-HHMMSS] [--matrix]
+
+--matrix groups zh_run.sh jobs by (target_domain, regularizer arm) and
+prints per-domain mean +/- std over seeds — the distribution-level quality
+table the reference's stochastic eval protocol calls for (SURVEY hard-part
+#2: its eval resamples until bars clear, mmd_wommd_case_analysis.py:660-694,
+so single-seed points are not comparable evidence).
 """
 
 import json
+import math
 import os
 import re
 import sys
@@ -14,21 +21,16 @@ import sys
 QDIR = "runs/q"
 
 
-def main():
-    since = ""
-    if "--since" in sys.argv:
-        since = sys.argv[sys.argv.index("--since") + 1]
+def _load_jobs(since: str):
     jobs = []
     with open(os.path.join(QDIR, "queue.log")) as f:
         for line in f:
             m = re.match(r"=== (\S+) RUN: (.*)", line.strip())
             if m and m.group(1) >= since:
                 jobs.append({"ts": m.group(1), "cmd": m.group(2)})
-    print("| job | result |")
-    print("|---|---|")
     for j in jobs:
         path = os.path.join(QDIR, f"{j['ts']}.log")
-        result = "(running/missing)"
+        j["result"] = {}
         if os.path.exists(path):
             for line in reversed(open(path, errors="ignore").readlines()):
                 line = line.strip()
@@ -37,12 +39,52 @@ def main():
                         d = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    keys = [k for k in ("best_f1", "base_f1", "pair_file",
-                                        "model_id", "value", "vs_baseline")
-                            if k in d]
-                    if keys:
-                        result = ", ".join(f"{k}={d[k]}" for k in keys)
-                    break
+                    if any(k in d for k in ("best_f1", "base_f1", "pair_file",
+                                            "model_id", "value",
+                                            "vs_baseline")):
+                        j["result"] = d
+                        break
+    return jobs
+
+
+def _matrix(jobs) -> None:
+    groups = {}  # (domain, arm) -> list of (seed, best_f1)
+    for j in jobs:
+        m = re.match(r"bash scripts/zh_run\.sh (\S+) (\d+) ", j["cmd"])
+        if not m or "best_f1" not in j["result"]:
+            continue
+        arm = "none" if "--regularizer none" in j["cmd"] else "mmd"
+        groups.setdefault((m.group(1), arm), []).append(
+            (int(m.group(2)), float(j["result"]["best_f1"])))
+    print("| domain | arm | seeds | best pair-F1 per seed | mean +/- std |")
+    print("|---|---|---|---|---|")
+    for (dom, arm), vals in sorted(groups.items()):
+        vals.sort()
+        f1s = [v for _, v in vals]
+        mean = sum(f1s) / len(f1s)
+        std = (math.sqrt(sum((x - mean) ** 2 for x in f1s) / (len(f1s) - 1))
+               if len(f1s) > 1 else 0.0)
+        per_seed = ", ".join(f"s{s}={v:.4f}" for s, v in vals)
+        print(f"| {dom} | {arm} | {len(f1s)} | {per_seed} "
+              f"| {mean:.4f} +/- {std:.4f} |")
+
+
+def main():
+    since = ""
+    if "--since" in sys.argv:
+        since = sys.argv[sys.argv.index("--since") + 1]
+    jobs = _load_jobs(since)
+    if "--matrix" in sys.argv:
+        _matrix(jobs)
+        return
+    print("| job | result |")
+    print("|---|---|")
+    for j in jobs:
+        d = j["result"]
+        keys = [k for k in ("best_f1", "base_f1", "pair_file", "model_id",
+                            "value", "vs_baseline") if k in d]
+        result = (", ".join(f"{k}={d[k]}" for k in keys)
+                  if keys else "(running/missing)")
         cmd = j["cmd"].replace("bash scripts/", "").replace(
             "python -m carel_tpu.cli ", "cli ").replace(
             "--data_root /root/reference ", "")

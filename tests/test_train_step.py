@@ -274,3 +274,79 @@ def test_flagship_loss_composition():
                               batch["bow_weights"], lc.label_smoothing, m)
     )
     np.testing.assert_allclose(float(total), float(expected), rtol=1e-6)
+
+
+def test_bf16_mu_dtype_knob():
+    """--optim_mu_dtype bfloat16 (round-4 HBM lever) stores the main Adam
+    first moment in bf16 and produces the same first step as f32-mu within
+    bf16 rounding; float32 default leaves no bf16 leaves in the opt state."""
+    cfg32 = tiny_cfg(Regularizer.MMD)
+    cfg16 = dataclasses.replace(
+        cfg32,
+        train=dataclasses.replace(cfg32.train, optim_mu_dtype="bfloat16"))
+    model, s32 = make_state(cfg32)
+    _, s16 = make_state(cfg16)
+
+    def mu_dtypes(state):
+        return {str(l.dtype) for l in jax.tree_util.tree_leaves(
+            state.main_opt_state) if hasattr(l, "dtype")}
+
+    assert "bfloat16" not in mu_dtypes(s32)
+    assert "bfloat16" in mu_dtypes(s16)
+
+    batch = synth_batch(np.random.default_rng(6))
+    r32, m32 = make_train_step(cfg32, model)(s32, batch, 0, 0.5)
+    r16, m16 = make_train_step(cfg16, model)(s16, batch, 0, 0.5)
+    # loss is computed from the pre-update forward pass: identical
+    assert float(m32["loss"]) == pytest.approx(float(m16["loss"]), rel=1e-6)
+    # post-update params agree to bf16 rounding of the first moment
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32)).max()),
+        r32.params, r16.params)
+    assert max(jax.tree_util.tree_leaves(deltas)) < 5e-2
+
+
+def test_dispatch_retry_narrowing(monkeypatch):
+    """ADVICE r3: retry ONLY transient tunnel signatures; re-raise the
+    original transient error when a retry trips over donated buffers; plain
+    INTERNAL execution errors are not retried."""
+    import carel_tpu.train.loop as loop
+
+    monkeypatch.setattr(loop.time, "sleep", lambda s: None)
+
+    # transient remote-compile failure, then success -> retried
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("INTERNAL: remote_compile stream aborted")
+        return "ok"
+
+    assert loop._dispatch_with_retry(flaky) == "ok"
+    assert len(calls) == 2
+
+    # generic INTERNAL (execution-phase shape) -> NOT retried
+    calls.clear()
+
+    def hard():
+        calls.append(1)
+        raise RuntimeError("INTERNAL: Failed to execute XLA computation")
+
+    with pytest.raises(RuntimeError, match="execute"):
+        loop._dispatch_with_retry(hard)
+    assert len(calls) == 1
+
+    # transient, then deleted-buffer artifact -> ORIGINAL error re-raised
+    calls.clear()
+
+    def donated():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("UNAVAILABLE: response body closed")
+        raise RuntimeError("Array has been deleted with shape=f32[8]")
+
+    with pytest.raises(RuntimeError, match="response body closed"):
+        loop._dispatch_with_retry(donated)
+    assert len(calls) == 2

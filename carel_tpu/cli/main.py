@@ -895,7 +895,8 @@ def cmd_pretrain(args) -> int:
                         language=cfg.data.language,
                         lr_decay=args.lr_decay,
                         warmup_steps=args.warmup_steps,
-                        save_every=args.save_every, save_path=args.out)
+                        save_every=args.save_every, save_path=args.out,
+                        save_full_path=args.save_mlm)
     init_params = None
     if args.init_encoder:
         # resume pretraining from a previously saved encoder (same
@@ -1035,14 +1036,41 @@ def cmd_ordering(args) -> int:
     from carel_tpu.data.ecpe_format import parse_ecpe_file
     from carel_tpu.tools.ordering import ordering_probe
 
-    stats = ordering_probe(parse_ecpe_file(args.file))
-    print(json.dumps({
+    scorer = None
+    if args.mlm_model:
+        # directional P(hypothesis | premise) via the in-framework MLM —
+        # the ordering_chatyuan.py calc_prob analog (tools/mlm_scorer.py)
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        from carel_tpu.data.tokenizer import build_tokenizer
+        from carel_tpu.tools.mlm_scorer import MlmScorer
+
+        texts = [c.text for d in parse_ecpe_file(args.file)
+                 for c in d.clauses]
+        tok = build_tokenizer(
+            args.language, texts,
+            os.path.join(args.cache_dir,
+                         f"tokenizer_{args.language}.json"))
+        enc = _encoder_preset(args.encoder, args.language)
+        enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
+        scorer = MlmScorer(args.mlm_model, tok, enc)
+
+    stats = ordering_probe(parse_ecpe_file(args.file),
+                           entailment_scorer=scorer)
+    out = {
         "total_pairs": stats.total_pairs,
         "cause_before": stats.cause_before,
         "cause_equal": stats.cause_equal,
         "cause_after": stats.cause_after,
         "temporal_order_rate": stats.temporal_order_rate,
-    }))
+    }
+    if scorer is not None:
+        out.update({"scored_pairs": stats.scored_pairs,
+                    "forward_wins": stats.forward_wins,
+                    "backward_wins": stats.backward_wins})
+    print(json.dumps(out))
     return 0
 
 
@@ -1106,6 +1134,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_ord = sub.add_parser("ordering", help="temporal-order probe")
     p_ord.add_argument("--file", required=True)
+    p_ord.add_argument("--mlm_model", default="",
+                       help="full MLM dir (pretrain --save_mlm) enabling the "
+                            "directional entailment comparison")
+    p_ord.add_argument("--encoder", default="base")
+    p_ord.add_argument("--language", default="zh")
+    p_ord.add_argument("--cache_dir", default="cache")
+    p_ord.add_argument("--cpu", action="store_true")
     p_ord.set_defaults(fn=cmd_ordering)
 
     p_vis = sub.add_parser("vis", help="domain-shift visualization")
@@ -1209,6 +1244,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="orbax encoder dir to resume pretraining from")
     p_pre2.add_argument("--save_every", type=int, default=0,
                         help="snapshot the encoder every N steps")
+    p_pre2.add_argument("--save_mlm", default="",
+                        help="also save the full MLM model (encoder + head) "
+                             "here, for `ordering --mlm_model` scoring")
     p_pre2.set_defaults(fn=cmd_pretrain)
 
     p_case = sub.add_parser("case_analysis",

@@ -68,6 +68,9 @@ class MlmConfig:
     # periodic orbax snapshots ("{save_path}_step{N}") for long runs
     save_every: int = 0
     save_path: str = ""
+    # also save the FULL MlmModel params (encoder + head) at the end, for
+    # masked-LM scoring (tools/mlm_scorer.py — the ordering_chatyuan analog)
+    save_full_path: str = ""
 
 
 def make_mlm_batches(
@@ -236,6 +239,10 @@ def pretrain_mlm(
                 and done - last_saved >= cfg.save_every and done < cfg.steps):
             save_encoder(f"{cfg.save_path}_step{done}", params["encoder"])
             last_saved = done
+    if cfg.save_full_path:
+        # full MlmModel params (encoder + MLM head) for downstream scoring
+        # (tools/mlm_scorer.py); the plain encoder checkpoint drops the head
+        save_encoder(cfg.save_full_path, params)
     return params["encoder"]
 
 

@@ -279,3 +279,36 @@ def test_mlm_pretrain_smoke(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["word_embeddings"]["embedding"]),
         np.asarray(params["word_embeddings"]["embedding"]))
+
+
+def test_mlm_scorer_ordering(tmp_path):
+    """pretrain --save_mlm -> MlmScorer -> ordering_probe: the in-framework
+    ordering_chatyuan analog (directional masked-LM pseudo-log-likelihood,
+    ordering_chatyuan.py calc_prob :38-66)."""
+    from carel_tpu.pretrain import MlmConfig, pretrain_mlm
+    from carel_tpu.tools.mlm_scorer import MlmScorer
+    from carel_tpu.tools.ordering import ordering_probe
+
+    tok = ZhCharTokenizer.from_corpus(["他很难过因为天气变冷她笑了收到礼物回家了那天下午"])
+    enc = tiny_encoder_config(vocab_size=tok.vocab_size, type_vocab_size=0)
+    texts = ["他很难过", "因为天气变冷", "她笑了", "收到礼物"] * 8
+    full_dir = str(tmp_path / "mlm_full")
+    cfg = MlmConfig(batch_size=8, seq_len=12, steps=6, warmup_steps=2,
+                    learning_rate=1e-3, save_full_path=full_dir)
+    pretrain_mlm(enc, tok, texts, cfg)
+
+    scorer = MlmScorer(full_dir, tok, enc, max_len=16, hyp_cap=8)
+    fwd = scorer("天气变冷", "他很难过")
+    bwd = scorer("他很难过", "天气变冷")
+    assert np.isfinite(fwd) and np.isfinite(bwd)
+    # log-probs of real tokens are <= 0
+    assert fwd <= 0.0 and bwd <= 0.0
+    # an unscorable direction (premise fills the window) is -inf, not a crash
+    assert scorer("他很难过因为天气变冷她笑了收到礼物", "回家") == float("-inf")
+
+    docs = parse_ecpe_text(DOCS)
+    stats = ordering_probe(docs, entailment_scorer=scorer)
+    # doc 1's pair is a self-chain (e == c): counted but never scored
+    assert stats.scored_pairs == 1
+    assert stats.forward_wins + stats.backward_wins <= stats.scored_pairs
+    assert stats.total_pairs == 2

@@ -880,6 +880,12 @@ def cmd_pretrain(args) -> int:
     tok = build_tokenizer(
         cfg.data.language, texts,
         os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
+    if args.save_mlm:
+        # pin the exact tokenizer next to the full-MLM checkpoint so
+        # `ordering --mlm_model` can never pair the weights with a
+        # differently-built vocab (ADVICE r4)
+        os.makedirs(args.save_mlm, exist_ok=True)
+        tok.save(os.path.join(args.save_mlm, "tokenizer.json"))
     enc = _encoder_preset(args.encoder, cfg.data.language)
     enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     logger = JsonlLogger(cfg.train.log_dir, "pretrain")
@@ -1047,12 +1053,24 @@ def cmd_ordering(args) -> int:
         from carel_tpu.data.tokenizer import build_tokenizer
         from carel_tpu.tools.mlm_scorer import MlmScorer
 
-        texts = [c.text for d in parse_ecpe_file(args.file)
-                 for c in d.clauses]
-        tok = build_tokenizer(
-            args.language, texts,
-            os.path.join(args.cache_dir,
-                         f"tokenizer_{args.language}.json"))
+        # the tokenizer MUST be the one the MLM checkpoint was trained with:
+        # a rebuilt one can silently share vocab_size (zh pads to a multiple
+        # of 128) yet permute ids, which loads fine and scores garbage
+        # (ADVICE r4). Prefer the copy saved next to the checkpoint by
+        # `pretrain --save_mlm`; else the training cache; never rebuild.
+        tok_candidates = [
+            os.path.join(args.mlm_model, "tokenizer.json"),
+            os.path.join(args.cache_dir, f"tokenizer_{args.language}.json"),
+        ]
+        tok_path = next((p for p in tok_candidates if os.path.exists(p)),
+                        None)
+        if tok_path is None:
+            raise SystemExit(
+                "ordering --mlm_model: no tokenizer found at "
+                f"{tok_candidates}; pass --cache_dir pointing at the cache "
+                "the MLM was pretrained with (rebuilding from the probe "
+                "file would silently mis-map token ids)")
+        tok = build_tokenizer(args.language, None, tok_path)
         enc = _encoder_preset(args.encoder, args.language)
         enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
         scorer = MlmScorer(args.mlm_model, tok, enc)

@@ -218,7 +218,9 @@ class TrainConfig:
     optim_mu_dtype: str = "float32"
     eval_batch_size: int = 512  # reference evals the whole test set in one batch
     seed: int = 42
-    checkpoint_dir: str = "checkpoints"
+    # default under runs/ (gitignored) so an invocation that forgets
+    # --checkpoint_dir doesn't scatter a checkpoints/ tree at the repo root
+    checkpoint_dir: str = "runs/ckpt"
     # full-state snapshot cadence in epochs (0 = only best-F1 params);
     # snapshots restore (params, all optimizer states, step, PRNG) exactly
     save_state_every: int = 0

@@ -60,7 +60,7 @@ class Stage1Config:
     clause_mixer: str = "bilstm"
     fresh_adam: bool = True  # reference's new-Adam-per-step quirk
     seed: int = 42
-    checkpoint_dir: str = "checkpoints"
+    checkpoint_dir: str = "runs/ckpt"  # gitignored; matches TrainConfig
     save_dir: str = ""  # pair-file output dir; default mirrors the reference
 
 

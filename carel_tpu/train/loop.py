@@ -78,7 +78,7 @@ def evaluate(
 # after a partially-dispatched step hits deleted buffers and masks the
 # root cause (ADVICE r3).
 _TRANSIENT_SIGNATURES = ("remote_compile", "response body closed",
-                         "Socket closed", "connection reset")
+                         "socket closed", "connection reset")
 
 
 def _dispatch_with_retry(fn, *args, retries: int = 2, logger=None):
@@ -101,7 +101,9 @@ def _dispatch_with_retry(fn, *args, retries: int = 2, logger=None):
                 # donation consumed the inputs during the failed dispatch;
                 # report the root cause, not the retry artifact
                 raise first_transient from e
-            transient = any(s in msg for s in _TRANSIENT_SIGNATURES)
+            # lowercase match: transport errors surface with varying
+            # capitalization ("Socket closed" / "Connection reset by peer")
+            transient = any(s in msg.lower() for s in _TRANSIENT_SIGNATURES)
             if attempt == retries or not transient:
                 raise
             first_transient = first_transient or e

@@ -48,24 +48,30 @@ def _load_jobs(since: str):
 
 
 def _matrix(jobs) -> None:
-    groups = {}  # (domain, arm) -> list of (seed, best_f1)
+    # group key includes the FULL recipe flag-set (everything after
+    # "zh_run.sh <domain> <seed>"), not just the regularizer arm — without
+    # it, runs from different rounds with different --self_max_dist/--epochs
+    # recipes silently pool into one misleading mean +/- std cell (ADVICE r4)
+    groups = {}  # (domain, arm, recipe) -> list of (seed, best_f1)
     for j in jobs:
-        m = re.match(r"bash scripts/zh_run\.sh (\S+) (\d+) ", j["cmd"])
+        m = re.match(r"bash scripts/zh_run\.sh (\S+) (\d+) (.*)", j["cmd"])
         if not m or "best_f1" not in j["result"]:
             continue
         arm = "none" if "--regularizer none" in j["cmd"] else "mmd"
-        groups.setdefault((m.group(1), arm), []).append(
+        recipe = m.group(3).strip()
+        groups.setdefault((m.group(1), arm, recipe), []).append(
             (int(m.group(2)), float(j["result"]["best_f1"])))
-    print("| domain | arm | seeds | best pair-F1 per seed | mean +/- std |")
-    print("|---|---|---|---|---|")
-    for (dom, arm), vals in sorted(groups.items()):
+    print("| domain | arm | recipe | seeds | best pair-F1 per seed "
+          "| mean +/- std |")
+    print("|---|---|---|---|---|---|")
+    for (dom, arm, recipe), vals in sorted(groups.items()):
         vals.sort()
         f1s = [v for _, v in vals]
         mean = sum(f1s) / len(f1s)
         std = (math.sqrt(sum((x - mean) ** 2 for x in f1s) / (len(f1s) - 1))
                if len(f1s) > 1 else 0.0)
         per_seed = ", ".join(f"s{s}={v:.4f}" for s, v in vals)
-        print(f"| {dom} | {arm} | {len(f1s)} | {per_seed} "
+        print(f"| {dom} | {arm} | `{recipe}` | {len(f1s)} | {per_seed} "
               f"| {mean:.4f} +/- {std:.4f} |")
 
 

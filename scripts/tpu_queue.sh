@@ -1,29 +1,72 @@
 #!/bin/bash
 # Serial TPU job queue. Pops one line at a time from runs/queue.txt and runs
-# it; exits when the queue is empty. NEVER run two instances: the TPU tunnel
-# serializes under contention (a 4s epoch becomes 145s — CLAUDE.md).
+# it; exits when the queue is empty or the tunnel goes down. NEVER two
+# instances: the TPU tunnel serializes under contention (a 4s epoch becomes
+# 145s — CLAUDE.md). Enforced with a flock on /tmp/tpu_queue.lock, so the
+# watcher and a manual drain mutually exclude.
 #
 #   echo "<shell command>" >> runs/queue.txt   # enqueue (works while running)
 #   bash scripts/tpu_queue.sh                  # drain
+#
+# Outage hardening (round 5, per VERDICT r4):
+#  - before EACH job, the relay-listener probe (see tpu_watcher.sh) is
+#    re-checked; if the tunnel is down the drain exits 2 WITHOUT popping, and
+#    the watcher re-invokes when listeners return — jobs are never consumed
+#    by a dead tunnel.
+#  - rc 124/143 (timeout / SIGTERM, the tunnel-hang signatures) re-queues the
+#    job at the HEAD of the queue, capped at MAX_RETRIES extra attempts per
+#    job (tracked by command hash in runs/q/retries.txt).
+#  - a line may start with "TIMEOUT=<secs> " to override JOB_TIMEOUT for that
+#    job only (long ablation arms need >100 min).
 #
 # Each job is bounded by JOB_TIMEOUT (default 100 min) so a hang cannot eat
 # the round. Per-job stdout/stderr goes to runs/q/<ts>.log; the schedule is
 # recorded in runs/q/queue.log.
 set -u
 cd /root/repo
-QUEUE=runs/queue.txt
-LOGDIR=runs/q
+QUEUE=${QUEUE:-runs/queue.txt}
+LOGDIR=${LOGDIR:-runs/q}
 JOB_TIMEOUT=${JOB_TIMEOUT:-6000}
+MAX_RETRIES=${MAX_RETRIES:-2}
 mkdir -p "$LOGDIR"
 touch "$QUEUE"
+
+exec 9>/tmp/tpu_queue.lock
+if ! flock -n 9; then
+  echo "tpu_queue: another drain holds /tmp/tpu_queue.lock; refusing (one process on the tunnel)" >&2
+  exit 1
+fi
+
+tunnel_up() { ss -tln 2>/dev/null | grep -qE ':(808[2-9]|809[0-9]|81[01][0-9])\b'; }
+note() { echo "=== $(date +%Y%m%d-%H%M%S) $*" >> "$LOGDIR/queue.log"; }
+
 while [ -s "$QUEUE" ]; do
+  if ! tunnel_up; then
+    note "TUNNEL DOWN: pausing drain (queue intact, $(wc -l < "$QUEUE") jobs)"
+    exit 2
+  fi
   job=$(head -n1 "$QUEUE")
   tail -n +2 "$QUEUE" > "$QUEUE.tmp" && mv "$QUEUE.tmp" "$QUEUE"
   [ -z "$job" ] && continue
+  jt=$JOB_TIMEOUT
+  case "$job" in
+    TIMEOUT=*) jt=${job%% *}; jt=${jt#TIMEOUT=}; job=${job#* } ;;
+  esac
   ts=$(date +%Y%m%d-%H%M%S)
-  echo "=== $ts RUN: $job" >> "$LOGDIR/queue.log"
-  timeout "$JOB_TIMEOUT" bash -c "$job" > "$LOGDIR/$ts.log" 2>&1
+  note "RUN (timeout ${jt}s): $job"
+  timeout "$jt" bash -c "$job" > "$LOGDIR/$ts.log" 2>&1
   rc=$?
-  echo "=== $(date +%Y%m%d-%H%M%S) EXIT $rc: $job" >> "$LOGDIR/queue.log"
+  note "EXIT $rc: $job"
+  if [ "$rc" -eq 124 ] || [ "$rc" -eq 143 ]; then
+    key=$(printf '%s' "$job" | md5sum | cut -d' ' -f1)
+    n=$(grep -c "^$key\$" "$LOGDIR/retries.txt" 2>/dev/null) || n=0
+    if [ "$n" -lt "$MAX_RETRIES" ]; then
+      echo "$key" >> "$LOGDIR/retries.txt"
+      { printf 'TIMEOUT=%s %s\n' "$jt" "$job"; cat "$QUEUE"; } > "$QUEUE.tmp" && mv "$QUEUE.tmp" "$QUEUE"
+      note "REQUEUE (retry $((n + 1))/$MAX_RETRIES): $job"
+    else
+      note "GIVE UP after $((n + 1)) retries: $job"
+    fi
+  fi
 done
 echo "queue drained"

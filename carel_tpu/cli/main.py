@@ -881,11 +881,14 @@ def cmd_pretrain(args) -> int:
         cfg.data.language, texts,
         os.path.join(args.cache_dir, f"tokenizer_{cfg.data.language}.json"))
     if args.save_mlm:
-        # pin the exact tokenizer next to the full-MLM checkpoint so
-        # `ordering --mlm_model` can never pair the weights with a
-        # differently-built vocab (ADVICE r4)
-        os.makedirs(args.save_mlm, exist_ok=True)
-        tok.save(os.path.join(args.save_mlm, "tokenizer.json"))
+        # pin the exact tokenizer as a SIBLING of the full-MLM checkpoint
+        # ("<dir>.tokenizer.json") so `ordering --mlm_model` can never pair
+        # the weights with a differently-built vocab (ADVICE r4). It cannot
+        # live INSIDE the dir: orbax owns that path and force=True save
+        # wipes it.
+        if os.path.dirname(args.save_mlm):
+            os.makedirs(os.path.dirname(args.save_mlm), exist_ok=True)
+        tok.save(args.save_mlm.rstrip("/") + ".tokenizer.json")
     enc = _encoder_preset(args.encoder, cfg.data.language)
     enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     logger = JsonlLogger(cfg.train.log_dir, "pretrain")
@@ -1059,7 +1062,7 @@ def cmd_ordering(args) -> int:
         # (ADVICE r4). Prefer the copy saved next to the checkpoint by
         # `pretrain --save_mlm`; else the training cache; never rebuild.
         tok_candidates = [
-            os.path.join(args.mlm_model, "tokenizer.json"),
+            args.mlm_model.rstrip("/") + ".tokenizer.json",
             os.path.join(args.cache_dir, f"tokenizer_{args.language}.json"),
         ]
         tok_path = next((p for p in tok_candidates if os.path.exists(p)),

@@ -8,6 +8,9 @@ Variants (vs the 50.5 ms b64xs96 threefry baseline, scripts/step_breakdown.py):
   b64/rbg+bf16mu    + Adam first moment in bf16 (~0.8 GB/step less HBM)
   b64/rbg/nodrop    dropout disabled = RNG+mask-apply upper bound
   b256/rbg          amortize the batch-independent costs (Adam ~5.3 ms)
+  b64/rbg+remat     remat encoder layers (HBM-bound? bwd/fwd 1.53 in r3)
+  b256/rbg+remat    remat at the amortizing batch
+  b256/rbg+bf16mu   the full TPU-tuned stack
 
 Usage: python scripts/perf_probe.py [--variants v1,v2,...]
 """
@@ -24,7 +27,8 @@ import numpy as np
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def _build(batch_size: int, rng_impl: str, mu_dtype: str, dropout: float):
+def _build(batch_size: int, rng_impl: str, mu_dtype: str, dropout: float,
+           remat: bool = False):
     from __graft_entry__ import _flagship_cfg
     from carel_tpu.models.drl import DrlModel
     from carel_tpu.train.state import create_train_state
@@ -33,7 +37,9 @@ def _build(batch_size: int, rng_impl: str, mu_dtype: str, dropout: float):
     cfg = _flagship_cfg()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, dropout=dropout),
+        model=dataclasses.replace(
+            cfg.model, dropout=dropout,
+            encoder=dataclasses.replace(cfg.model.encoder, remat=remat)),
         train=dataclasses.replace(cfg.train, batch_size=batch_size,
                                   optim_mu_dtype=mu_dtype),
         data=dataclasses.replace(cfg.data, max_len=96))
@@ -86,6 +92,15 @@ VARIANTS = {
                            mu_dtype="float32", dropout=0.0),
     "b256/rbg": dict(batch_size=256, rng_impl="rbg",
                      mu_dtype="float32", dropout=0.1),
+    # remat encoder layers: if the step is HBM-bound (bwd/fwd 1.53 measured
+    # r3), recompute-over-store can win despite +1/3 fwd FLOPs
+    "b64/rbg+remat": dict(batch_size=64, rng_impl="rbg",
+                          mu_dtype="float32", dropout=0.1, remat=True),
+    "b256/rbg+remat": dict(batch_size=256, rng_impl="rbg",
+                           mu_dtype="float32", dropout=0.1, remat=True),
+    # the full TPU-tuned stack at the amortizing batch
+    "b256/rbg+bf16mu": dict(batch_size=256, rng_impl="rbg",
+                            mu_dtype="bfloat16", dropout=0.1),
 }
 
 

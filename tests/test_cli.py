@@ -100,10 +100,15 @@ def test_pretrain_then_train_chain(capsys, tmp_path):
                                  "data/ECPE_new_dataset/lottery.txt"),
         "--encoder", "tiny", "--steps", "4", "--scan_size", "2",
         "--mlm_batch", "8", "--seq_len", "32", "--whole_word",
+        "--save_mlm", str(tmp_path / "mlm_full"),
         "--cache_dir", str(tmp_path / "cache"),
         "--log_dir", str(tmp_path / "logs"), "--out", enc_dir])
     assert rc == 0
     assert json.loads(out.strip().splitlines()[-1])["encoder_ckpt"] == enc_dir
+    # --save_mlm pins the exact tokenizer as a SIBLING file (inside the dir
+    # orbax would wipe it on save); ordering --mlm_model resolves it first
+    assert os.path.exists(str(tmp_path / "mlm_full") + ".tokenizer.json")
+    assert os.path.isdir(tmp_path / "mlm_full")
 
     rc, out = run_cli(capsys, [
         "train", "--cpu", "--preset", "ec_mmd_final_mul_newsplit_emnlp",
@@ -162,3 +167,19 @@ def test_self_chain_train_chain(capsys, tmp_path):
     assert rc == 0
     res = json.loads(out.strip().splitlines()[-1])
     assert "best_f1" in res and res["best_f1"] >= 0
+
+
+@requires_reference_data
+def test_ordering_mlm_requires_pinned_tokenizer(capsys, tmp_path):
+    """ordering --mlm_model must REFUSE to rebuild a tokenizer from the probe
+    file: a rebuilt zh vocab can share vocab_size (padded to 128) yet permute
+    ids, loading cleanly and scoring garbage (ADVICE r4). Resolution order is
+    <mlm_model>.tokenizer.json (pinned by pretrain --save_mlm) then the
+    --cache_dir training cache; neither present -> hard error."""
+    with pytest.raises(SystemExit, match="no tokenizer found"):
+        main(["ordering", "--cpu", "--file",
+              os.path.join(REFERENCE_ROOT,
+                           "data/ECPE_new_dataset/lottery.txt"),
+              "--mlm_model", str(tmp_path / "no_such_mlm"),
+              "--language", "zh",
+              "--cache_dir", str(tmp_path / "empty_cache")])

@@ -142,3 +142,29 @@ def test_stage1_model(mixer):
     assert pred.shape == (B, D, 7)
     np.testing.assert_allclose(np.asarray(pred.sum(-1)), 1.0, rtol=1e-5)
     assert float(reg) > 0
+
+
+def test_encoder_remat_matches_nonremat():
+    """remat=True (jax.checkpoint per layer, encoder.py:151) must be a pure
+    perf knob: identical forward outputs AND identical gradients."""
+    import dataclasses
+
+    cfg = tiny_encoder_config()
+    rng = np.random.default_rng(3)
+    ids, mask, types = _batch(rng)
+    enc = TransformerEncoder(cfg)
+    enc_r = TransformerEncoder(dataclasses.replace(cfg, remat=True))
+    params = enc.init(jax.random.key(0), ids, mask, types)
+
+    def loss(apply_params, model):
+        hidden, pooled = model.apply(apply_params, ids, mask, types)
+        return jnp.sum(pooled ** 2) + jnp.sum(hidden ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, enc)
+    l1, g1 = jax.value_and_grad(loss)(params, enc_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

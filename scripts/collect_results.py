@@ -18,16 +18,22 @@ import os
 import re
 import sys
 
-QDIR = "runs/q"
+QDIR = os.environ.get("CAREL_QDIR", "runs/q")
 
 
 def _load_jobs(since: str):
     jobs = []
     with open(os.path.join(QDIR, "queue.log")) as f:
         for line in f:
-            m = re.match(r"=== (\S+) RUN: (.*)", line.strip())
+            # both runner formats: "RUN: cmd" (pre-r5) and
+            # "RUN (timeout 6000s): cmd" (outage-proof runner, r5)
+            m = re.match(r"=== (\S+) RUN(?: \(timeout \d+s\))?: (.*)",
+                         line.strip())
             if m and m.group(1) >= since:
-                jobs.append({"ts": m.group(1), "cmd": m.group(2)})
+                cmd = m.group(2)
+                # strip the per-job timeout prefix a requeue prepends
+                cmd = re.sub(r"^TIMEOUT=\d+ ", "", cmd)
+                jobs.append({"ts": m.group(1), "cmd": cmd})
     for j in jobs:
         path = os.path.join(QDIR, f"{j['ts']}.log")
         j["result"] = {}

@@ -962,6 +962,7 @@ def cmd_case_analysis(args) -> int:
         "model_a_f1": res.model_a_f1, "model_b_f1": res.model_b_f1,
         "csv": res.csv_path,
         "self_chain": res.self_chain_counts, "normal": res.normal_counts,
+        "split_f1": res.split_f1,
     }))
     return 0
 

@@ -35,6 +35,17 @@ class CaseAnalysisResult:
     csv_path: str
     self_chain_counts: dict  # {"a_correct": ..., "b_correct": ...} on chain rows
     normal_counts: dict
+    # sklearn-binary F1 over the pair file WITHOUT the forced-miss penalty —
+    # the protocol behind the reference's 0.8649/0.733 acceptance gates
+    # (mmd_wommd_case_analysis.py:688-694): overall + per split
+    split_f1: Optional[dict] = None
+
+
+def _binary_f1(labels: np.ndarray, preds: np.ndarray) -> float:
+    tp = int(((labels == 1) & (preds == 1)).sum())
+    fp = int(((labels == 0) & (preds == 1)).sum())
+    fn = int(((labels == 1) & (preds == 0)).sum())
+    return 2 * tp / (2 * tp + fp + fn) if tp else 0.0
 
 
 def compare_checkpoints(
@@ -83,8 +94,18 @@ def compare_checkpoints(
             "total": int(mask.sum()),
         }
 
+    def split_f1s(mask):
+        return {f"{label_a}_f1": round(_binary_f1(labels[mask],
+                                                  preds_a[mask]), 4),
+                f"{label_b}_f1": round(_binary_f1(labels[mask],
+                                                  preds_b[mask]), 4)}
+
+    all_mask = np.ones(len(labels), bool)
     return CaseAnalysisResult(
         model_a_f1=f1_a, model_b_f1=f1_b, csv_path=out_csv,
         self_chain_counts=counts(is_chain),
         normal_counts=counts(~is_chain),
+        split_f1={"overall": split_f1s(all_mask),
+                  "self_chain": split_f1s(is_chain),
+                  "normal": split_f1s(~is_chain)},
     )

@@ -192,6 +192,20 @@ def test_case_analysis(tmp_path):
     with open(out_csv, encoding="utf8") as f:
         header = f.readline().strip().split(",")
     assert header == ["pair", "label", "mmd_pred", "wommd_pred", "self_chain"]
+    # split F1s use the reference's gate protocol (no forced-miss penalty,
+    # mmd_wommd_case_analysis.py:688-694) and must be consistent with the
+    # CSV: recompute overall F1 from the written rows
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(out_csv, encoding="utf8")))
+    def f1(key):
+        tp = sum(r["label"] == "1" and r[key] == "1" for r in rows)
+        fp = sum(r["label"] == "0" and r[key] == "1" for r in rows)
+        fn = sum(r["label"] == "1" and r[key] == "0" for r in rows)
+        return 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert res.split_f1["overall"]["mmd_f1"] == round(f1("mmd_pred"), 4)
+    assert res.split_f1["overall"]["wommd_f1"] == round(f1("wommd_pred"), 4)
+    assert set(res.split_f1) == {"overall", "self_chain", "normal"}
 
 
 def test_prf_2nd_step():

@@ -16,6 +16,9 @@
 #  - rc 124/143 (timeout / SIGTERM, the tunnel-hang signatures) re-queues the
 #    job at the HEAD of the queue, capped at MAX_RETRIES extra attempts per
 #    job (tracked by command hash in runs/q/retries.txt).
+#  - a nonzero exit whose log shows a backend-unavailable error (half-dead
+#    tunnel: listeners up, remote gone) re-queues WITHOUT burning a retry
+#    and pauses the drain (exit 3) for the watcher to resume later.
 #  - a line may start with "TIMEOUT=<secs> " to override JOB_TIMEOUT for that
 #    job only (long ablation arms need >100 min).
 #
@@ -57,6 +60,19 @@ while [ -s "$QUEUE" ]; do
   timeout "$jt" bash -c "$job" > "$LOGDIR/$ts.log" 2>&1
   rc=$?
   note "EXIT $rc: $job"
+  # Half-dead tunnel (relay listeners alive, remote backend gone — the
+  # 20260817-1953 bench failure mode): the job dies with a backend-
+  # unavailable error, rc!=124/143. That's an outage, not the job's fault:
+  # requeue at head WITHOUT burning a retry and pause the drain (exit 3);
+  # the watcher re-invokes when it next polls. The ~25-min PJRT retry
+  # inside the failing attempt is itself the backoff.
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ] && [ "$rc" -ne 143 ] && \
+     grep -qE "Unable to initialize backend 'axon'|UNAVAILABLE: TPU backend" \
+       "$LOGDIR/$ts.log" 2>/dev/null; then
+    { printf 'TIMEOUT=%s %s\n' "$jt" "$job"; cat "$QUEUE"; } > "$QUEUE.tmp" && mv "$QUEUE.tmp" "$QUEUE"
+    note "BACKEND UNAVAILABLE (rc $rc): requeued, pausing drain ($(wc -l < "$QUEUE") jobs)"
+    exit 3
+  fi
   if [ "$rc" -eq 124 ] || [ "$rc" -eq 143 ]; then
     key=$(printf '%s' "$job" | md5sum | cut -d' ' -f1)
     n=$(grep -c "^$key\$" "$LOGDIR/retries.txt" 2>/dev/null) || n=0

@@ -51,6 +51,35 @@ def test_timeout_requeues_with_cap_then_continues(tmp_path):
     assert "EXIT 0: echo second-job" in log  # queue continued past it
 
 
+def test_backend_unavailable_requeues_and_pauses(tmp_path):
+    # Half-dead tunnel: listeners up, job dies rc=1 with the PJRT
+    # backend-unavailable signature -> requeue at head (no retry burned),
+    # drain pauses with rc=3 and the rest of the queue intact.
+    job = "echo \"RuntimeError: Unable to initialize backend 'axon': " \
+          "UNAVAILABLE\"; exit 1"
+    r, queue, log = _run(tmp_path, [job, "echo never-ran"], tunnel_up=True)
+    assert r.returncode == 3
+    lines = queue.strip().splitlines()
+    assert len(lines) == 2 and "never-ran" in lines[1]
+    assert lines[0].startswith("TIMEOUT=") and "axon" in lines[0]
+    assert "BACKEND UNAVAILABLE (rc 1)" in log
+    assert "never-ran" not in log  # later jobs untouched
+    assert not (tmp_path / "q" / "retries.txt").exists()  # no retry burned
+
+
+def test_plain_failure_is_consumed_not_requeued(tmp_path):
+    # An ordinary job failure (no outage signature) must NOT be retried —
+    # the queue moves on and records the failure.
+    r, queue, log = _run(
+        tmp_path, ["echo ordinary-bug; exit 1", "echo second"],
+        tunnel_up=True)
+    assert r.returncode == 0
+    assert queue.strip() == ""
+    assert "EXIT 1: echo ordinary-bug; exit 1" in log
+    assert "REQUEUE" not in log and "BACKEND UNAVAILABLE" not in log
+    assert "EXIT 0: echo second" in log
+
+
 def test_flock_refuses_second_instance(tmp_path):
     # hold the lock, then try to drain: must refuse (one process on tunnel)
     import time

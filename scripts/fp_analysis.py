@@ -13,7 +13,10 @@ Usage: python scripts/fp_analysis.py <model_id> [target_domain]
 
 import collections
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -18,7 +18,11 @@ Usage: python scripts/perf_probe.py [--variants v1,v2,...]
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

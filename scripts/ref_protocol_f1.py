@@ -13,7 +13,8 @@ reference-gate (results/finance_mmd_case_summary.json). This script scores
 one checkpoint both ways so every domain's gate comparison is
 apples-to-apples.
 
-Usage: python scripts/ref_protocol_f1.py <model_id> <target_domain>
+Usage: python scripts/ref_protocol_f1.py <model_id> [target_domain]
+           [--preset en_newsplit --cache_dir runs/cache_en]   # en runs
 """
 
 import dataclasses
@@ -46,15 +47,26 @@ def _resolve_id(prefix: str, ckpt_dir: str = "runs/ckpt") -> str:
 
 
 def main():
-    model_id, target = _resolve_id(sys.argv[1]), sys.argv[2]
-    cfg = PRESETS["ec_mmd_final_mul_newsplit_emnlp"]
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model_id")
+    ap.add_argument("target", nargs="?", default=None,
+                    help="zh target domain; omit for en (preset default)")
+    ap.add_argument("--preset", default="ec_mmd_final_mul_newsplit_emnlp")
+    ap.add_argument("--cache_dir", default="runs/cache")
+    args = ap.parse_args()
+    model_id, target = _resolve_id(args.model_id), args.target
+    cfg = PRESETS[args.preset]
+    data = dataclasses.replace(cfg.data, data_root="/root/reference")
+    if target is not None:
+        data = dataclasses.replace(data, target_domain=target)
+    else:
+        target = data.target_domain
     cfg = dataclasses.replace(
-        cfg,
-        data=dataclasses.replace(
-            cfg.data, data_root="/root/reference", target_domain=target),
+        cfg, data=data,
         train=dataclasses.replace(cfg.train, checkpoint_dir="runs/ckpt"))
     enc = _encoder_preset("base", cfg.data.language)
-    pipe = build_pipeline(cfg, cache_dir="runs/cache", encoder_cfg=enc)
+    pipe = build_pipeline(cfg, cache_dir=args.cache_dir, encoder_cfg=enc)
     cfg = pipe.cfg
     state = init_state(pipe)
     params = ckpt.load_best(cfg.train.checkpoint_dir, model_id, state.params)

@@ -34,9 +34,10 @@ MAX_RETRIES=${MAX_RETRIES:-2}
 mkdir -p "$LOGDIR"
 touch "$QUEUE"
 
-exec 9>/tmp/tpu_queue.lock
+LOCKFILE=${LOCKFILE:-/tmp/tpu_queue.lock}
+exec 9>"$LOCKFILE"
 if ! flock -n 9; then
-  echo "tpu_queue: another drain holds /tmp/tpu_queue.lock; refusing (one process on the tunnel)" >&2
+  echo "tpu_queue: another drain holds $LOCKFILE; refusing (one process on the tunnel)" >&2
   exit 1
 fi
 

@@ -24,7 +24,11 @@ def _run(tmp_path, queue_lines, tunnel_up, env_extra=None):
     ss.chmod(0o755)
     env = dict(os.environ,
                PATH=f"{bindir}:{os.environ['PATH']}",
-               QUEUE=str(queue), LOGDIR=str(qdir), **(env_extra or {}))
+               QUEUE=str(queue), LOGDIR=str(qdir),
+               # private lock per test: the REAL drain may be running
+               # concurrently on this host holding /tmp/tpu_queue.lock
+               LOCKFILE=str(tmp_path / "queue.lock"),
+               **(env_extra or {}))
     r = subprocess.run(["bash", SCRIPT], env=env, capture_output=True,
                        text=True, timeout=120)
     log = (qdir / "queue.log").read_text() if (qdir / "queue.log").exists() \
@@ -85,7 +89,7 @@ def test_flock_refuses_second_instance(tmp_path):
     import time
     holder = subprocess.Popen(
         ["bash", "-c",
-         "exec 9>/tmp/tpu_queue.lock; flock 9; sleep 20"])
+         f"exec 9>{tmp_path / 'queue.lock'}; flock 9; sleep 20"])
     try:
         time.sleep(0.5)
         r, queue, _ = _run(tmp_path, ["echo nope"], tunnel_up=True)

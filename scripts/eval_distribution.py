@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CPU by default; CAREL_EVAL_DEVICE=native keeps the ambient axon backend
+# (see ref_protocol_f1.py — only for the serial TPU queue)
+if os.environ.get("CAREL_EVAL_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CPU by default (safe anywhere); CAREL_EVAL_DEVICE=native keeps the ambient
+# backend (the axon TPU) — ONLY for use inside the serial TPU queue, where a
+# full-size eval is minutes instead of the ~40 CPU-minutes on this 1-core host
+if os.environ.get("CAREL_EVAL_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 

@@ -58,10 +58,14 @@ def main():
                     help="zh target domain; omit for en (preset default)")
     ap.add_argument("--preset", default="ec_mmd_final_mul_newsplit_emnlp")
     ap.add_argument("--cache_dir", default="runs/cache")
+    ap.add_argument("--test_file", default="",
+                    help="explicit test pair file (en in-framework stage-1)")
     args = ap.parse_args()
     model_id, target = _resolve_id(args.model_id), args.target
     cfg = PRESETS[args.preset]
     data = dataclasses.replace(cfg.data, data_root="/root/reference")
+    if args.test_file:
+        data = dataclasses.replace(data, test_file=args.test_file)
     if target is not None:
         data = dataclasses.replace(data, target_domain=target)
     else:
